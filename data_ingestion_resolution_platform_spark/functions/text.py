@@ -1,0 +1,115 @@
+"""Text-analysis functions for training-data pipelines — Column exprs.
+
+Language ID (stopword-hit heuristic), quality scoring, token counting,
+and rolling-hash document fingerprinting. All expression-only so they
+survive a 100 TB corpus: no Python in the row path, and every function
+here is also expressible in ANSI SQL for the DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# heuristic. Deliberately small + deterministic so the oracle SQL can
+# replicate them verbatim.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+}
+
+TOKEN_REGEX = r"[^\s]+"
+# BPE-ish word/number/punctuation splitter (GPT-2-style coarse classes).
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+FINGERPRINT_MOD = 1_000_003
+FINGERPRINT_BASE = 31
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokens (non-empty)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column, mode: str = "whitespace") -> Column:
+    """Token count: 'whitespace' or 'bpe' (regex word/num/punct classes)."""
+    if mode == "whitespace":
+        return F.size(tokenize(text))
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_REGEX), 0))
+
+
+def _marker_hits(tokens: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.array_intersect(F.array_distinct(tokens), arr))
+
+
+def detect_language(text: Column) -> Column:
+    """Stopword-marker language ID: language with most distinct marker
+    hits wins; ties broken by fixed language order; no hits ⇒ 'und'."""
+    toks = F.transform(tokenize(F.lower(text)), lambda t: F.regexp_replace(t, r"[^a-z]", ""))
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in ["en", "de", "fr", "es"]:  # fixed priority order
+        hits = _marker_hits(toks, LANG_MARKERS[lang])
+        is_better = hits > best_hits
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return best_lang
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-scoring feature dict: length, token stats, punctuation and
+    stopword ratios, alpha ratio. Combine downstream into a score."""
+    n_chars = F.length(text)
+    toks = tokenize(text)
+    n_toks = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    n_alpha = F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]"), 0))
+    lower_toks = F.transform(toks, F.lower)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(lower_toks, lambda t: F.array_contains(stop_arr, t)))
+    safe_toks = F.greatest(n_toks, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_toks,
+        "mean_token_len": (n_chars.cast("double") / safe_toks),
+        "punct_ratio": (n_punct.cast("double") / safe_chars),
+        "alpha_ratio": (n_alpha.cast("double") / safe_chars),
+        "stopword_ratio": (n_stop.cast("double") / safe_toks),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score from ``quality_features`` —
+    deterministic linear blend used by the filtering operator."""
+    f = quality_features(text)
+    score = (
+        F.least(f["n_tokens"].cast("double") / F.lit(100.0), F.lit(1.0)) * 0.3
+        + f["alpha_ratio"] * 0.3
+        + F.least(f["stopword_ratio"] * F.lit(3.0), F.lit(1.0)) * 0.2
+        + (F.lit(1.0) - F.least(f["punct_ratio"] * F.lit(5.0), F.lit(1.0))) * 0.2
+    )
+    return F.round(score, 6)
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Rolling polynomial hash over whitespace tokens, mod a small prime.
+
+    fp = fold(tokens, 0, (acc, t) -> (acc*31 + tokhash(t)) % 1000003)
+    where tokhash = xxhash64 folded into [0, mod). Small modulus keeps
+    the arithmetic exact in any engine (values < 2^40 pre-mod).
+    """
+    toks = tokenize(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (
+            acc * FINGERPRINT_BASE + F.pmod(F.xxhash64(t), F.lit(FINGERPRINT_MOD))
+        )
+        % FINGERPRINT_MOD,
+    )

@@ -1,0 +1,219 @@
+"""CDC resolution operators — the reference worker's dataflow, Spark-first.
+
+Re-expresses ``/root/reference/backend/worker.py`` (the row-at-a-time
+ingest worker) as declarative DataFrame plans:
+
+- per-group winner selection (A4/A5/W1: ``rlist[0]`` / chosen-row logic,
+  `worker.py:214-216`, `main.py:181-190`) → ``resolve_latest`` /
+  ``resolve_first`` / ``resolve_with_choices`` — window or two-phase
+  ``max_by`` aggregation (skew-safe).
+- conflict detection (A2/A3: distinct identity signatures per natural
+  key, `worker.py:376-392`) → ``detect_conflicts``.
+- change application (M1-M6: upsert/tombstone semantics,
+  `main.py:225-243`) → ``apply_changes`` (I/U/D ops + LWW by LSN).
+
+Scale notes (100 TB / 10^10 events):
+- Winner selection avoids a global window when ``salted=True``: a
+  two-phase ``max_by`` aggregation does map-side partial aggregation
+  (per input partition) before the shuffle, so a hot key never
+  concentrates its raw rows on one reducer. A ``row_number`` window
+  would shuffle *all* rows of a key to one task first.
+- Wide payloads ride inside the ``max_by`` struct, so only one payload
+  per (key, partial) survives the shuffle — the "project early,
+  re-join content for winners" guard from SURVEY.md §7.4 is built in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_ingestion_resolution_platform_spark.functions.normalize import (
+    clean_field,
+    identity_signature,
+    normalize_email,
+    validation_issues,
+)
+
+_ORD = "__ord"
+_PAYLOAD = "__payload"
+
+
+def _ordering_struct(lsn_col: str, tie_breakers: Sequence[str], ascending: bool) -> Column:
+    """Lexicographic ordering key as a struct column.
+
+    Struct comparison in Spark is field-by-field, so ``max_by`` /
+    ``min_by`` over this struct equals ORDER BY lsn, *tie_breakers.
+    """
+    cols = [F.col(lsn_col)] + [F.col(t) for t in tie_breakers]
+    return F.struct(*cols)
+
+
+def resolve_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    lsn_col: str,
+    tie_breakers: Sequence[str] = (),
+    salted: bool = True,
+) -> DataFrame:
+    """Last-writer-wins: one row per key, the max-(lsn, ties) row.
+
+    ``salted=True`` (default) uses two-phase aggregation with map-side
+    partial ``max_by`` — the skew-safe plan for hot keys. The result is
+    identical to ``row_number() over (partition by keys order by lsn
+    desc) = 1`` with deterministic tie-breaks, but no single reducer
+    ever sees more than one candidate row per (key, input-partition).
+    """
+    payload_cols = [c for c in df.columns]
+    ordering = _ordering_struct(lsn_col, tie_breakers, ascending=False)
+    staged = df.withColumn(_PAYLOAD, F.struct(*[F.col(c) for c in payload_cols])).withColumn(
+        _ORD, ordering
+    )
+    if salted:
+        # Spark's hash aggregate already performs map-side partial
+        # aggregation for max_by, which is exactly the salt-then-merge
+        # two-phase shape; an explicit salt column is only needed for
+        # window-based plans. We keep it single groupBy + rely on
+        # partial agg; AQE handles residual reducer skew.
+        winners = staged.groupBy(*keys).agg(F.max_by(_PAYLOAD, _ORD).alias(_PAYLOAD))
+    else:
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(lsn_col).desc(), *[F.col(t).desc() for t in tie_breakers]
+        )
+        winners = (
+            staged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*keys, _PAYLOAD)
+        )
+    return winners.select(*[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload_cols])
+
+
+def resolve_first(
+    df: DataFrame,
+    keys: Sequence[str],
+    lsn_col: str,
+    tie_breakers: Sequence[str] = (),
+) -> DataFrame:
+    """First-writer-wins (the reference's ``rlist[0]`` pick,
+    `worker.py:214-216`): min-(lsn, ties) row per key via ``min_by``."""
+    payload_cols = [c for c in df.columns]
+    ordering = _ordering_struct(lsn_col, tie_breakers, ascending=True)
+    staged = df.withColumn(_PAYLOAD, F.struct(*[F.col(c) for c in payload_cols])).withColumn(
+        _ORD, ordering
+    )
+    winners = staged.groupBy(*keys).agg(F.min_by(_PAYLOAD, _ORD).alias(_PAYLOAD))
+    return winners.select(*[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload_cols])
+
+
+def resolve_with_choices(
+    df: DataFrame,
+    choices: DataFrame,
+    keys: Sequence[str],
+    lsn_col: str,
+    choice_lsn_col: str = "chosen_lsn",
+) -> DataFrame:
+    """A5 (`main.py:168-190`): user-chosen winner overrides the default.
+
+    ``choices`` maps key → chosen ``lsn``; rows matching a choice get
+    priority 1, everything else 0, and the winner is max_by(priority,
+    lsn). Choices are small (human-resolved) ⇒ broadcast join.
+    """
+    ch = choices.select(*keys, F.col(choice_lsn_col))
+    joined = df.join(F.broadcast(ch), on=list(keys), how="left")
+    prio = F.when(F.col(lsn_col) == F.col(choice_lsn_col), F.lit(1)).otherwise(F.lit(0))
+    staged = joined.withColumn("__prio", prio).drop(choice_lsn_col)
+    payload_cols = [c for c in df.columns]
+    ordered = staged.withColumn(
+        _PAYLOAD, F.struct(*[F.col(c) for c in payload_cols])
+    ).withColumn(_ORD, F.struct(F.col("__prio"), F.col(lsn_col)))
+    winners = ordered.groupBy(*keys).agg(F.max_by(_PAYLOAD, _ORD).alias(_PAYLOAD))
+    return winners.select(*[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload_cols])
+
+
+def detect_conflicts(
+    df: DataFrame,
+    keys: Sequence[str],
+    signature: Column,
+    lsn_col: str,
+    candidate_cols: Sequence[str] = (),
+    max_candidates: int = 20,
+) -> DataFrame:
+    """A2/A3 (`worker.py:376-392`): keys whose rows disagree on identity.
+
+    Emits one row per conflicted key with ``n_signatures`` and a
+    bounded candidate list (top-``max_candidates`` by LSN — the scale
+    guard the reference lacks: its payload collected *every* row).
+    Output: keys..., n_signatures, n_rows, candidates(array<struct>).
+    """
+    sig_df = df.withColumn("__sig", signature)
+    cand_struct = F.struct(
+        F.col(lsn_col).alias("lsn"), *[F.col(c) for c in candidate_cols]
+    )
+    agg = sig_df.groupBy(*keys).agg(
+        F.countDistinct("__sig").alias("n_signatures"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.slice(
+            F.sort_array(F.collect_list(cand_struct), asc=False), 1, max_candidates
+        ).alias("candidates"),
+    )
+    return agg.filter(F.col("n_signatures") > 1)
+
+
+def apply_changes(
+    changes: DataFrame,
+    keys: Sequence[str],
+    lsn_col: str,
+    op_col: str = "op",
+    tie_breakers: Sequence[str] = (),
+) -> DataFrame:
+    """M1-M6: collapse an I/U/D change feed to final table state.
+
+    Winner per key = last writer by LSN; a winning delete tombstones
+    the key (`main.py:225-243` skip ⇒ excluded from final output).
+    Idempotent by construction: replaying the same feed yields the
+    same state.
+    """
+    winners = resolve_latest(changes, keys, lsn_col, tie_breakers=tie_breakers)
+    return winners.filter(F.col(op_col) != F.lit("D"))
+
+
+def normalize_contacts(df: DataFrame) -> DataFrame:
+    """The reference's per-row pipeline (P1-P6, `worker.py:286-374`) as
+    one projection: adds normalized/cleaned columns, identity signature,
+    and the per-row issue array. Input: email/first_name/last_name/
+    company (+ passthrough columns)."""
+    out = df.withColumns(
+        {
+            "normalized_email": normalize_email(F.col("email")),
+            "first_name_clean": clean_field(F.col("first_name")),
+            "last_name_clean": clean_field(F.col("last_name")),
+            "company_clean": clean_field(F.col("company")),
+        }
+    )
+    out = out.withColumns(
+        {
+            "signature": identity_signature(
+                F.col("first_name"), F.col("last_name"), F.col("company")
+            ),
+            "issues": validation_issues(
+                F.col("normalized_email"),
+                F.col("first_name"),
+                F.col("last_name"),
+                F.col("company"),
+            ),
+        }
+    )
+    return out.withColumn("is_valid", F.size(F.col("issues")) == 0)
+
+
+def explode_issues(df: DataFrame, row_id_col: str = "row_id") -> DataFrame:
+    """P6 second half (`worker.py:358-368`): one row per (row, issue).
+
+    The reference inserts one Issue row per violation; ``explode`` is
+    the declarative equivalent."""
+    return df.select(
+        F.col(row_id_col), F.explode(F.col("issues")).alias("issue_type")
+    )

@@ -1,0 +1,169 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Default mode: runs the headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line::
+
+    {"metric": "cdc_merge_apply_events_per_sec", "value": N,
+     "unit": "events/sec", "queries": {...per-query seconds...},
+     "sf": "...", "cdc": {...}}
+
+The headline metric is the BASELINE.json target: sustained
+change-events/sec of MERGE-apply over the source-code change feed
+(synthesized deterministically at a size proportional to the rest of
+the benchmark's scale).
+
+``--scaling`` mode: re-runs the CDC replay at two parallelism levels
+(N and 4N cores) in fresh subprocesses (a JVM fixes its core count at
+startup) and reports throughput at both + scaling efficiency — the
+sandbox evidence for the north rule's two-cluster-size criterion
+(see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+
+
+def _feed_events() -> int:
+    # ~10x lineitem rows at the given sf: 600k rows at sf0.1 → 6M events
+    override = os.environ.get("SPARK_GRAFT_FEED_EVENTS")
+    if override:
+        return int(override)
+    sf = _sf_dir().rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return max(100_000, int(float(sf) * 60_000_000))
+    except ValueError:
+        return 1_000_000
+
+
+def run_cdc_replay(parallelism: int, n_events: int, epochs: int = 4) -> dict:
+    """The target metric: events/sec of feed→resolve→MERGE apply."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_resolution_platform_spark.session import get_spark
+    from data_ingestion_resolution_platform_spark.sources.feed import synth_change_feed
+    from data_ingestion_resolution_platform_spark.streaming.pipeline import CDCPipeline
+
+    spark = get_spark("bench_cdc", parallelism=parallelism)
+    wh = tempfile.mkdtemp(prefix="bench_wh_")
+    try:
+        feed = synth_change_feed(
+            spark, n_events, n_repos=max(100, n_events // 10_000), skew=2.0, seed=42,
+            partitions=parallelism * 2,
+        )
+        # materialize the feed first so we measure MERGE-apply, not synthesis
+        feed_dir = os.path.join(wh, "feed")
+        feed.write.mode("overwrite").parquet(feed_dir)
+        feed_df = spark.read.parquet(feed_dir)
+        pipe = CDCPipeline(spark, feed_dir="unused", warehouse=wh)
+        t0 = time.time()
+        pipe.replay_bounded(feed_df, epochs=epochs)
+        elapsed = time.time() - t0
+        n_final = pipe.target.read().count()
+        return {
+            "parallelism": parallelism,
+            "events": n_events,
+            "epochs": epochs,
+            "seconds": round(elapsed, 3),
+            "events_per_sec": round(n_events / elapsed, 1),
+            "final_rows": n_final,
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+HEADLINE = [
+    "cdc_apply_changes",
+    "cdc_conflicts",
+    "cdc_lineage_stats",
+    "pricing_summary",
+    "shipping_priority",
+    "latest_order_per_customer",
+    "dedup_exact",
+    "dedup_minhash",
+    "text_quality",
+    "lang_id",
+    "ann_topk",
+]
+
+
+def run_queries(parallelism: int, sf_dir: str) -> dict[str, float]:
+    from data_ingestion_resolution_platform_spark.plans.queries import QUERIES
+    from data_ingestion_resolution_platform_spark.session import get_spark
+
+    spark = get_spark("bench_queries", parallelism=parallelism)
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = QUERIES[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+        _ = n
+    return out
+
+
+def main() -> None:
+    sf_dir = _sf_dir()
+    cpus = _cpus()
+    if "--cdc-only" in sys.argv:
+        # subprocess worker for --scaling
+        par = int(sys.argv[sys.argv.index("--cdc-only") + 1])
+        n_events = int(os.environ.get("SPARK_GRAFT_FEED_EVENTS_SCALED", str(_feed_events())))
+        print(json.dumps(run_cdc_replay(par, n_events)))
+        return
+
+    if "--scaling" in sys.argv:
+        n = max(2, cpus // 4)
+        n4 = n * 4
+        n_events = _feed_events()
+        env = dict(os.environ, SPARK_GRAFT_FEED_EVENTS_SCALED=str(n_events))
+        results = {}
+        for par in (n, n4):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--cdc-only", str(par)],
+                capture_output=True, text=True, env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            results[par] = json.loads(line)
+        eff = (results[n4]["events_per_sec"] / results[n]["events_per_sec"]) / (n4 / n)
+        print(json.dumps({
+            "metric": "cdc_scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "n": n, "4n": n4,
+            "events_per_sec_n": results[n]["events_per_sec"],
+            "events_per_sec_4n": results[n4]["events_per_sec"],
+            "events": n_events,
+            "sf": sf_dir,
+        }))
+        return
+
+    queries = run_queries(cpus, sf_dir)
+    cdc = run_cdc_replay(cpus, _feed_events())
+    print(json.dumps({
+        "metric": "cdc_merge_apply_events_per_sec",
+        "value": cdc["events_per_sec"],
+        "unit": "events/sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "cdc": cdc,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -61,15 +61,16 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
     signature of a doc with no shingles is all-NULL (filtered upstream).
     Entirely expression-based: ``array_min(transform(shingles, h_i))``.
     """
+    def hasher(ai: int, bi: int):
+        return lambda s: _hash_with_seed(s, ai, bi)
+
     sig = []
     a, b = 1_103_515_245, 12_345  # classic LCG multipliers as seed walk
     for i in range(num_hashes):
         ai = (a * (2 * i + 1)) % _MERSENNE31
         bi = (b * (i + 7)) % _MERSENNE31
         sig.append(
-            F.array_min(
-                F.transform(shingle_arr, lambda s, ai=ai, bi=bi: _hash_with_seed(s, ai, bi))
-            ).alias(f"mh_{i}")
+            F.array_min(F.transform(shingle_arr, hasher(ai, bi))).alias(f"mh_{i}")
         )
     return F.array(*sig)
 
@@ -102,15 +103,14 @@ def simhash64(shingle_arr: Column) -> Column:
     set vs unset; bit is 1 iff the set-count wins. Implemented as 64
     aggregate expressions folded with ``aggregate``; stays JVM-side.
     """
-    hashes = F.transform(shingle_arr, F.xxhash64)
+    def bit_counter(bit: int):
+        return lambda acc, h: acc + F.shiftright(h, bit).bitwiseAND(F.lit(1)).cast("int")
+
+    hashes = F.transform(shingle_arr, lambda s: F.xxhash64(s))
     n = F.size(hashes)
     result = F.lit(0).cast("long")
     for bit in range(64):
-        ones = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, bit=bit: acc + F.shiftright(h, bit).bitwiseAND(F.lit(1)).cast("int"),
-        )
+        ones = F.aggregate(hashes, F.lit(0), bit_counter(bit))
         bit_set = (ones * 2 > n).cast("long")
         result = result.bitwiseOR(F.shiftleft(bit_set, bit))
     return result

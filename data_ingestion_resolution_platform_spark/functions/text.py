@@ -113,3 +113,23 @@ def doc_fingerprint(text: Column) -> Column:
         )
         % FINGERPRINT_MOD,
     )
+
+
+def doc_fingerprint_portable(text: Column) -> Column:
+    """Rolling hash with an engine-portable token hash.
+
+    Same polynomial fold as ``doc_fingerprint`` but the per-token hash
+    is ``length(t)*31 + ascii(first_char)`` — computable in any SQL
+    engine (used by the DuckDB oracle gate). Weaker distribution than
+    xxhash64; prefer ``doc_fingerprint`` in production.
+    """
+    toks = tokenize(text)
+    tok_hash = lambda t: (F.length(t) * FINGERPRINT_BASE + F.ascii(F.substring(t, 1, 1))).cast(  # noqa: E731
+        "long"
+    )
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * FINGERPRINT_BASE + F.pmod(tok_hash(t), F.lit(FINGERPRINT_MOD)))
+        % FINGERPRINT_MOD,
+    )

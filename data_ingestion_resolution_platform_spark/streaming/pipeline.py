@@ -1,0 +1,133 @@
+"""The streaming CDC pipeline: readStream → foreachBatch → MERGE.
+
+Re-expresses the reference worker loop
+(`/root/reference/backend/worker.py:418-463` + `process_job`
+`:231-415`) as Structured Streaming:
+
+- queue long-poll (S5)        → file-stream source over the feed dir
+- idempotency guard (M5)      → epoch ledger check on ``batchId``
+- row pipeline + conflicts    → declarative plans (operators/cdc.py)
+- finalize (A4/A5 + M1-M6)    → LWW resolve + LakeTable MERGE
+- stats/status (A6/A7, M7)    → lineage rows per partition + status
+- ack-on-success (S7)         → streaming checkpoint commit (offsets
+                                 advance only after foreachBatch returns)
+
+Exactly-once: the checkpoint gives at-least-once delivery of each
+micro-batch; the epoch ledger inside ``LakeTable`` makes re-delivery a
+no-op; MERGE keyed by natural key makes *partial replay* idempotent.
+That is the same triad the reference hand-rolls with COMPLETED-status
+checks + clear-and-rebuild + unique-key upserts (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_resolution_platform_spark.functions.hashing import content_sha256
+from data_ingestion_resolution_platform_spark.operators.cdc import detect_conflicts, resolve_latest
+from data_ingestion_resolution_platform_spark.sources.feed import CHANGE_FEED_SCHEMA
+from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+from data_ingestion_resolution_platform_spark.streaming.lineage import lineage_rows
+from data_ingestion_resolution_platform_spark.streaming.schema_evolution import reconcile_exprs
+
+
+@dataclass
+class CDCPipeline:
+    """Config + orchestration for the source-code-table CDC engine.
+
+    Natural key ``(repo, path)``; identity signature
+    ``(lang, sha256(content))``; winner = last writer by LSN
+    (BASELINE.json north rule, SURVEY.md §1.4).
+    """
+
+    spark: SparkSession
+    feed_dir: str
+    warehouse: str
+    keys: tuple[str, ...] = ("repo", "path")
+    lsn_col: str = "lsn"
+    renames: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self.target = LakeTable(self.spark, os.path.join(self.warehouse, "target"))
+        self.conflicts = LakeTable(self.spark, os.path.join(self.warehouse, "conflicts"))
+        self.lineage = LakeTable(self.spark, os.path.join(self.warehouse, "lineage"))
+        self.checkpoint = os.path.join(self.warehouse, "_checkpoint")
+
+    # -- batch core (shared by streaming + bounded replay) ---------------
+    def signature(self):
+        return F.struct(F.col("lang"), content_sha256(F.col("content")).alias("sha"))
+
+    def process_batch(self, batch: DataFrame, epoch: int) -> dict:
+        """One micro-batch = one reference ``process_job`` epoch."""
+        if self.target.epoch_committed(epoch):
+            return {"skipped": True, "epoch": epoch}
+        batch = reconcile_exprs(batch, CHANGE_FEED_SCHEMA, self.renames)
+        # content projected away before any shuffle-heavy work: the
+        # conflict/winner plans carry (key, lsn, sig) + payload struct
+        # only once (SURVEY §7.4 shuffle-volume guard).
+        conflicts = detect_conflicts(
+            batch,
+            list(self.keys),
+            self.signature(),
+            self.lsn_col,
+            candidate_cols=["commit", "lang"],
+            max_candidates=10,
+        ).withColumn("epoch", F.lit(epoch).cast("long"))
+        winners = resolve_latest(batch, list(self.keys), self.lsn_col)
+        lin = lineage_rows(batch, epoch, self.lsn_col)
+        # write order: data first, ledger marker last (a crash between
+        # leaves an uncommitted epoch that replays idempotently).
+        self.conflicts.merge(conflicts, [*self.keys, "epoch"], epoch_id=f"c{epoch}")
+        self.lineage.append(lin, epoch_id=f"l{epoch}")
+        stats = self.target.merge(
+            winners,
+            list(self.keys),
+            epoch_id=epoch,
+            delete_condition=F.col("op") == "D",
+        )
+        return stats
+
+    # -- streaming entry --------------------------------------------------
+    def run_stream(self, available_now: bool = True, trigger_seconds: float | None = None):
+        """Tail the feed directory as a parquet file stream.
+
+        ``available_now=True`` processes the backlog then stops —
+        bounded replay with full checkpoint semantics (resume picks up
+        exactly where the last committed offset left off).
+        """
+        stream = (
+            self.spark.readStream.schema(CHANGE_FEED_SCHEMA)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(self.feed_dir)
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.process_batch(batch_df, batch_id)
+
+        writer = stream.writeStream.foreachBatch(sink).option(
+            "checkpointLocation", self.checkpoint
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_seconds:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()
+
+    def replay_bounded(self, feed: DataFrame, epochs: int, epoch_offset: int = 0) -> list[dict]:
+        """Batch-mode replay: split a bounded feed into ``epochs``
+        LSN-ranged micro-batches and run the same batch core. Used by
+        bench (throughput) and tests (replay equivalence)."""
+        bounds = feed.agg(F.min(self.lsn_col), F.max(self.lsn_col)).first()
+        lo, hi = bounds[0], bounds[1]
+        span = (hi - lo + 1) // epochs or 1
+        out = []
+        for i in range(epochs):
+            a = lo + i * span
+            b = hi + 1 if i == epochs - 1 else lo + (i + 1) * span
+            chunk = feed.filter((F.col(self.lsn_col) >= a) & (F.col(self.lsn_col) < b))
+            out.append(self.process_batch(chunk, epoch_offset + i))
+        return out

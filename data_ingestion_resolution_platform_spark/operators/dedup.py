@@ -22,12 +22,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_ingestion_resolution_platform_spark.functions.hashing import (
+    _MERSENNE31 as _M31,
     content_sha256,
     hamming64,
-    minhash_bands,
-    minhash_signature,
     shingles,
-    simhash64,
 )
 from data_ingestion_resolution_platform_spark.functions.vectors import quantized_cosine, quantize_vector
 
@@ -71,13 +69,38 @@ def minhash_candidates(
     optional bucket-size guard upstream.
     """
     rows_per_band = num_hashes // num_bands
-    sigs = df.select(
+    # Explode-based signature computation: one (doc, shingle-hash) row
+    # per shingle, then num_hashes `min` aggregates in a single groupBy.
+    # The array-expression form (functions/hashing.minhash_signature)
+    # re-inlines the whole shingle pipeline once per hash function —
+    # 32x duplicated codegen; this shape computes shingles exactly once
+    # and is also the 100 TB plan (no giant arrays in memory).
+    base = df.select(
         F.col(id_col).alias("doc"),
-        minhash_signature(shingles(F.col(text_col), k_shingle), num_hashes).alias("sig"),
+        F.explode(shingles(F.col(text_col), k_shingle)).alias("sh"),
+    ).select("doc", F.pmod(F.xxhash64("sh"), F.lit(_M31)).alias("h"))
+    a, b = 1_103_515_245, 12_345
+    aggs = []
+    for i in range(num_hashes):
+        ai = (a * (2 * i + 1)) % _M31
+        bi = (b * (i + 7)) % _M31
+        aggs.append(F.min(F.pmod(F.col("h") * ai + bi, F.lit(_M31))).alias(f"mh{i}"))
+    sigs = base.groupBy("doc").agg(*aggs)
+    band_structs = []
+    for band in range(num_bands):
+        members = [
+            F.col(f"mh{band * rows_per_band + j}").cast("string")
+            for j in range(rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(F.concat_ws(",", *members)).alias("bucket"),
+            )
+        )
+    banded = sigs.select("doc", F.explode(F.array(*band_structs)).alias("b")).select(
+        "doc", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
     )
-    banded = sigs.select(
-        "doc", F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("b")
-    ).select("doc", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -130,11 +153,27 @@ def simhash_near_dups(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """SimHash near-dups: block on 16-bit chunks (pigeonhole: hamming ≤ 3
-    ⇒ at least one of 4 chunks identical), verify with bit_count."""
-    sh = df.select(
+    ⇒ at least one of 4 chunks identical), verify with bit_count.
+
+    Signature computed explode-style (like MinHash above): one groupBy
+    with 64 bit-majority aggregates over per-shingle xxhash64 rows —
+    single codegen'd aggregation, scales to any corpus size.
+    """
+    base = df.select(
         F.col(id_col).alias("doc"),
-        simhash64(shingles(F.col(text_col), 3)).alias("sh"),
-    )
+        F.explode(shingles(F.col(text_col), 3)).alias("s"),
+    ).select("doc", F.xxhash64("s").alias("h"))
+    bit_aggs = [
+        F.sum(F.shiftright("h", bit).bitwiseAND(F.lit(1)).cast("long")).alias(f"b{bit}")
+        for bit in range(64)
+    ] + [F.count(F.lit(1)).alias("n")]
+    counts = base.groupBy("doc").agg(*bit_aggs)
+    sim = F.lit(0).cast("long")
+    for bit in range(64):
+        sim = sim.bitwiseOR(
+            F.shiftleft((F.col(f"b{bit}") * 2 > F.col("n")).cast("long"), bit)
+        )
+    sh = counts.select("doc", sim.alias("sh"))
     chunks = sh.select(
         "doc",
         "sh",

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from data_ingestion_resolution_platform_spark.functions.hashing import content_sha256
 from data_ingestion_resolution_platform_spark.operators.cdc import detect_conflicts, resolve_latest
 from data_ingestion_resolution_platform_spark.sources.feed import CHANGE_FEED_SCHEMA
-from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+from data_ingestion_resolution_platform_spark.sources.lake import LakeTable, PartitionedLakeTable
 from data_ingestion_resolution_platform_spark.streaming.lineage import lineage_rows
 from data_ingestion_resolution_platform_spark.streaming.schema_evolution import reconcile_exprs
 
@@ -50,11 +50,25 @@ class CDCPipeline:
     keys: tuple[str, ...] = ("repo", "path")
     lsn_col: str = "lsn"
     renames: dict = field(default_factory=dict)
+    n_buckets: int = 32
 
     def __post_init__(self) -> None:
-        self.target = LakeTable(self.spark, os.path.join(self.warehouse, "target"))
-        self.conflicts = LakeTable(self.spark, os.path.join(self.warehouse, "conflicts"))
-        self.lineage = LakeTable(self.spark, os.path.join(self.warehouse, "lineage"))
+        # target: hash-bucketed on the leading natural key → MERGE only
+        # rewrites touched buckets (Iceberg bucket(N, repo) analogue)
+        self.target = PartitionedLakeTable(
+            self.spark,
+            os.path.join(self.warehouse, "target"),
+            bucket_keys=[self.keys[0]],
+            n_buckets=self.n_buckets,
+        )
+        # conflicts/lineage are audit streams → append-only layout,
+        # O(batch) writes, no rewrite of history
+        self.conflicts = LakeTable(
+            self.spark, os.path.join(self.warehouse, "conflicts"), append_only=True
+        )
+        self.lineage = LakeTable(
+            self.spark, os.path.join(self.warehouse, "lineage"), append_only=True
+        )
         self.checkpoint = os.path.join(self.warehouse, "_checkpoint")
 
     # -- batch core (shared by streaming + bounded replay) ---------------
@@ -66,29 +80,33 @@ class CDCPipeline:
         if self.target.epoch_committed(epoch):
             return {"skipped": True, "epoch": epoch}
         batch = reconcile_exprs(batch, CHANGE_FEED_SCHEMA, self.renames)
-        # content projected away before any shuffle-heavy work: the
-        # conflict/winner plans carry (key, lsn, sig) + payload struct
-        # only once (SURVEY §7.4 shuffle-volume guard).
-        conflicts = detect_conflicts(
-            batch,
-            list(self.keys),
-            self.signature(),
-            self.lsn_col,
-            candidate_cols=["commit", "lang"],
-            max_candidates=10,
-        ).withColumn("epoch", F.lit(epoch).cast("long"))
-        winners = resolve_latest(batch, list(self.keys), self.lsn_col)
-        lin = lineage_rows(batch, epoch, self.lsn_col)
-        # write order: data first, ledger marker last (a crash between
-        # leaves an uncommitted epoch that replays idempotently).
-        self.conflicts.merge(conflicts, [*self.keys, "epoch"], epoch_id=f"c{epoch}")
-        self.lineage.append(lin, epoch_id=f"l{epoch}")
-        stats = self.target.merge(
-            winners,
-            list(self.keys),
-            epoch_id=epoch,
-            delete_condition=F.col("op") == "D",
-        )
+        # the batch feeds three plans (conflicts, winners, lineage) —
+        # cache it once so the source isn't re-scanned per consumer
+        batch.persist()
+        try:
+            conflicts = detect_conflicts(
+                batch,
+                list(self.keys),
+                self.signature(),
+                self.lsn_col,
+                candidate_cols=["commit", "lang"],
+                max_candidates=10,
+            ).withColumn("epoch", F.lit(epoch).cast("long"))
+            winners = resolve_latest(batch, list(self.keys), self.lsn_col)
+            lin = lineage_rows(batch, epoch, self.lsn_col)
+            # write order: audit data first, target + its ledger marker
+            # last (a crash in between leaves an uncommitted epoch that
+            # replays idempotently; audit appends are ledger-guarded too).
+            self.conflicts.append(conflicts, epoch_id=f"c{epoch}")
+            self.lineage.append(lin, epoch_id=f"l{epoch}")
+            stats = self.target.merge(
+                winners,
+                list(self.keys),
+                epoch_id=epoch,
+                delete_condition=F.col("op") == "D",
+            )
+        finally:
+            batch.unpersist()
         return stats
 
     # -- streaming entry --------------------------------------------------

@@ -135,3 +135,29 @@ def test_sha256_invariant(spark):
     df = spark.createDataFrame([("hello world",)], "content string")
     got = df.select(content_sha256(F.col("content")).alias("h")).first()["h"]
     assert got == hashlib.sha256(b"hello world").hexdigest()
+
+
+def test_partitioned_lake_merge(spark, tmp_path):
+    from data_ingestion_resolution_platform_spark.sources.lake import PartitionedLakeTable
+
+    tbl = PartitionedLakeTable(spark, str(tmp_path / "ptarget"), bucket_keys=["repo"], n_buckets=8)
+    b1 = spark.createDataFrame(
+        [(1, "I", "r1", "a.py", "py", "v1"), (2, "I", "r2", "b.py", "py", "v2")], FEED_SCHEMA
+    )
+    tbl.merge(b1, ["repo", "path"], epoch_id=1, delete_condition=F.col("op") == "D")
+    assert {(r["repo"], r["content"]) for r in tbl.read().collect()} == {("r1", "v1"), ("r2", "v2")}
+    # update one key, leave the other bucket untouched
+    b2 = spark.createDataFrame([(3, "U", "r1", "a.py", "py", "v3")], FEED_SCHEMA)
+    st = tbl.merge(b2, ["repo", "path"], epoch_id=2, delete_condition=F.col("op") == "D")
+    assert st["touched_buckets"] == 1
+    assert {(r["repo"], r["content"]) for r in tbl.read().collect()} == {("r1", "v3"), ("r2", "v2")}
+    # replay of epoch 2 is a no-op
+    assert tbl.merge(b2, ["repo", "path"], epoch_id=2)["skipped"] is True
+    # delete ALL rows of r1's bucket: empty version committed, no resurrection
+    b3 = spark.createDataFrame([(4, "D", "r1", "a.py", "py", "")], FEED_SCHEMA)
+    tbl.merge(b3, ["repo", "path"], epoch_id=3, delete_condition=F.col("op") == "D")
+    assert {(r["repo"], r["content"]) for r in tbl.read().collect()} == {("r2", "v2")}
+    # delete for a key that never existed: clean no-op
+    b4 = spark.createDataFrame([(5, "D", "zz", "q.py", "py", "")], FEED_SCHEMA)
+    tbl.merge(b4, ["repo", "path"], epoch_id=4, delete_condition=F.col("op") == "D")
+    assert tbl.read().count() == 1

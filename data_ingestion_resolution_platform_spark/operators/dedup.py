@@ -212,46 +212,58 @@ def embedding_near_dups(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-dup via random-hyperplane LSH blocking + exact
-    quantized-cosine verification.
+    """Embedding near-dup via multi-table random-hyperplane LSH blocking
+    + exact quantized-cosine verification.
 
-    Hyperplanes are deterministic pseudo-random (hash of (plane, dim)),
-    built as column expressions — no driver-side numpy state.
+    Standard LSH recall amplification: ``n_tables`` independent
+    ``n_planes``-bit signatures; a pair is a candidate if it collides in
+    ANY table (OR over tables), then candidates are verified exactly.
+    Hyperplanes are deterministic pseudo-random (hash of
+    (table, plane, dim)), built as column expressions — no driver-side
+    numpy state; candidate generation is a bucket equi-join (shuffle on
+    (table, bucket)), never a cross join.
     """
     q = df.select(F.col(id_col).alias("doc"), quantize_vector(F.col(vec_col)).alias("qv"))
-    # sign bit per plane: dot(v, plane) >= 0 where plane components are
-    # ±1 chosen by xxhash64(plane, dim)
-    def plane_term(p: int):
+
+    # sign bit per (table, plane): dot(v, plane) >= 0 where plane
+    # components are ±1 chosen by xxhash64(dim, table, plane, seed)
+    def plane_term(t: int, p: int):
         return lambda x, i: x * F.when(
-            F.pmod(F.xxhash64(i, F.lit(p), F.lit(seed)), F.lit(2)) == 0, F.lit(1)
+            F.pmod(F.xxhash64(i, F.lit(t), F.lit(p), F.lit(seed)), F.lit(2)) == 0, F.lit(1)
         ).otherwise(F.lit(-1))
 
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col("qv"),
-                F.sequence(F.lit(0), F.size(F.col("qv")) - 1),
-                plane_term(p),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        sig = sig.bitwiseOR(F.shiftleft((dot >= 0).cast("long"), p))
-    blocked = q.withColumn("bucket", sig)
+    idx = F.sequence(F.lit(0), F.size(F.col("qv")) - 1)
+    buckets = []
+    for t in range(n_tables):
+        sig = F.lit(0).cast("long")
+        for p in range(n_planes):
+            dot = F.aggregate(
+                F.zip_with(F.col("qv"), idx, plane_term(t, p)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            sig = sig.bitwiseOR(F.shiftleft((dot >= 0).cast("long"), p))
+        buckets.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
+    blocked = q.select(
+        "doc", "qv", F.explode(F.array(*buckets)).alias("b")
+    ).select("doc", "qv", F.col("b.tbl").alias("tbl"), F.col("b.bucket").alias("bucket"))
     l, r = blocked.alias("l"), blocked.alias("r")
     return (
         l.join(
             r,
-            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.doc") < F.col("r.doc")),
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
         )
         .select(
             F.col("l.doc").alias("id_a"),
             F.col("r.doc").alias("id_b"),
             quantized_cosine(F.col("l.qv"), F.col("r.qv")).alias("cosine"),
         )
+        .distinct()
         .filter(F.col("cosine") >= threshold)
     )

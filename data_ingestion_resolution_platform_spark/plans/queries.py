@@ -256,9 +256,13 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus
 
 
 def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8-style guard: customers with no orders at all (left anti)."""
+    """A8-style guard: customers with no open order (left anti).
+
+    Mirrors the reference's finalize gate (backend/main.py:153-155 —
+    refuse while OPEN issues exist) as an anti-join.
+    """
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -266,7 +270,7 @@ def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ANTI = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
 """
 
 
@@ -577,7 +581,51 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, "embedding", "vec_id", threshold=0.8)
+    return embedding_near_dups(emb, "embedding", "vec_id", threshold=0.4)
+
+
+def q_dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine near-dup pairs (the correctness baseline
+    the LSH variant approximates). All arithmetic in IEEE double so the
+    DuckDB oracle (list_cosine_similarity over DOUBLE[]) agrees bit-for-
+    rounded-bit; threshold margin verified ≥1e-4 on the test data.
+    """
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    l, r = emb.alias("l"), emb.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l.v"), F.col("r.v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def nrm(c):
+        return F.sqrt(
+            F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+
+    cos = dot / (nrm(F.col("l.v")) * nrm(F.col("r.v")))
+    return (
+        l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            cos.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= 0.4)
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+SQL_DEDUP_EMB_EXACT = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,6 +668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "doc_fingerprints": q_doc_fingerprints,
     "ann_topk": q_ann_topk,
+    "dedup_embedding_exact": q_dedup_embedding_exact,
     # rows-only (non-SQL-expressible)
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -650,4 +699,5 @@ ORACLES: dict[str, str] = {
     "token_stats": SQL_TOKEN_STATS,
     "doc_fingerprints": SQL_FINGERPRINTS,
     "ann_topk": SQL_ANN_TOPK,
+    "dedup_embedding_exact": SQL_DEDUP_EMB_EXACT,
 }

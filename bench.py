@@ -131,15 +131,26 @@ def main() -> None:
         n = max(2, cpus // 4)
         n4 = n * 4
         n_events = _feed_events()
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
         env = dict(os.environ, SPARK_GRAFT_FEED_EVENTS_SCALED=str(n_events))
-        results = {}
-        for par in (n, n4):
-            proc = subprocess.run(
-                [sys.executable, __file__, "--cdc-only", str(par)],
-                capture_output=True, text=True, env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            line = proc.stdout.strip().splitlines()[-1]
-            results[par] = json.loads(line)
+        results: dict[int, dict] = {}
+        # interleave levels and keep the best rep per level: a fresh-boot
+        # JVM, page-cache state, and async writeback from the *previous*
+        # run all depress the measured wall time; max-over-reps with a
+        # sync+settle between runs isolates the steady-state throughput
+        for rep in range(reps):
+            for par in (n4, n):
+                subprocess.run(["sync"], check=False)
+                time.sleep(5)
+                proc = subprocess.run(
+                    [sys.executable, __file__, "--cdc-only", str(par)],
+                    capture_output=True, text=True, env=env,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                line = proc.stdout.strip().splitlines()[-1]
+                r = json.loads(line)
+                if par not in results or r["events_per_sec"] > results[par]["events_per_sec"]:
+                    results[par] = r
         eff = (results[n4]["events_per_sec"] / results[n]["events_per_sec"]) / (n4 / n)
         print(json.dumps({
             "metric": "cdc_scaling_efficiency",
@@ -149,6 +160,7 @@ def main() -> None:
             "events_per_sec_n": results[n]["events_per_sec"],
             "events_per_sec_4n": results[n4]["events_per_sec"],
             "events": n_events,
+            "reps": reps,
             "sf": sf_dir,
         }))
         return

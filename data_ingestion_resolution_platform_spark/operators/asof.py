@@ -1,0 +1,116 @@
+"""As-of (temporal) join — a training-pipeline operator the reference
+lacks (its only join shapes are equi/semi/point, SURVEY.md §2.4), added
+per the engine brief as a first-class component.
+
+``asof_join`` matches each left row to the most recent right row of the
+same key with ``right_ts <= left_ts`` (backward direction; ``forward``
+symmetric). Implemented Spark-first as a **union + ordered window**, the
+scalable plan:
+
+1. tag left/right rows, union them on (key, ts, side),
+2. one shuffle+sort per key (``Window.partitionBy(keys).orderBy(ts,
+   side, order)``),
+3. ``last(right_payload, ignorenulls=True)`` carries the latest right
+   row forward to each left row.
+
+Cost is one shuffle of |L|+|R| rows — never a cross/theta join, no
+per-key fan-out, hot keys handled by AQE like any other sort. At equal
+timestamps the right row is visible to the left row (inclusive bound,
+matching DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS = "__asof_ts"
+_SIDE = "__asof_side"
+_ORD = "__asof_ord"
+_R = "__asof_r"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    tolerance: Column | None = None,
+    direction: str = "backward",
+    right_order: Sequence[str] = (),
+) -> DataFrame:
+    """Left as-of join: every left row + columns of its matched right row
+    (NULL when no right row precedes it / is within ``tolerance``).
+
+    ``right_order`` breaks ties deterministically when several right
+    rows share (key, ts): the greatest wins for ``backward``, the least
+    for ``forward``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    keys = list(on)
+    rcols = [c for c in (right_cols or right.columns) if c not in keys]
+    lcols = left.columns
+
+    # forward = backward on negated time: keep ONE code path
+    sign = 1 if direction == "backward" else -1
+
+    def ts_key(c: Column) -> Column:
+        # TIMESTAMP_NTZ cannot cast straight to double; hop via timestamp
+        return (c.cast("timestamp").cast("double") * sign).alias(_TS)
+
+    ordv = F.struct(*[F.col(c) for c in right_order]) if right_order else F.lit(0)
+    r_struct = F.struct(*[F.col(c) for c in rcols], F.col(right_ts).alias("__rts"))
+    r_type = right.select(r_struct.alias("s")).schema["s"].dataType
+    l_type = left.select(
+        F.struct(*[F.col(c) for c in lcols]).alias("s")
+    ).schema["s"].dataType
+    l = left.select(
+        *keys,
+        ts_key(F.col(left_ts)),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast("int").alias(_ORD) if not right_order else F.lit(None).cast(
+            right.select(ordv.alias("o")).schema["o"].dataType
+        ).alias(_ORD),
+        F.struct(*[F.col(c) for c in lcols]).alias("__asof_l"),
+        F.lit(None).cast(r_type).alias(_R),
+    )
+    r = right.select(
+        *keys,
+        ts_key(F.col(right_ts)),
+        F.lit(0).alias(_SIDE),
+        ordv.alias(_ORD),
+        F.lit(None).cast(l_type).alias("__asof_l"),
+        r_struct.alias(_R),
+    )
+    u = l.unionByName(r)
+    # ``last`` picks the frame-final right row: greatest right_order for
+    # backward; for forward (negated time) the least must win, so flip.
+    ord_sorted = F.col(_ORD).asc() if sign == 1 else F.col(_ORD).desc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), ord_sorted)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last(F.col(_R), ignorenulls=True).over(w)
+    out = (
+        u.withColumn("__m", matched)
+        .filter(F.col(_SIDE) == 1)
+        .select(F.col("__asof_l").alias("__asof_l"), F.col("__m"))
+    )
+    if tolerance is not None:
+        within = (
+            F.col(f"__asof_l.{left_ts}").cast("timestamp").cast("double")
+            - F.col("__m.__rts").cast("timestamp").cast("double")
+        ) * sign <= tolerance.cast("double")
+        out = out.withColumn(
+            "__m", F.when(within, F.col("__m")).otherwise(F.lit(None))
+        )
+    return out.select(
+        *[F.col(f"__asof_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__m.{c}").alias(c) for c in rcols],
+    )

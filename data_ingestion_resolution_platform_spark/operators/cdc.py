@@ -152,14 +152,109 @@ def detect_conflicts(
     cand_struct = F.struct(
         F.col(lsn_col).alias("lsn"), *[F.col(c) for c in candidate_cols]
     )
+    # NOT countDistinct: mixing a distinct aggregate with plain ones
+    # makes Catalyst insert an Expand (every input row duplicated through
+    # the shuffle — measured 2-6x slower on wide CDC batches).
+    # collect_set is a single-pass exact distinct, bounded by the number
+    # of distinct signatures per key.
     agg = sig_df.groupBy(*keys).agg(
-        F.countDistinct("__sig").alias("n_signatures"),
+        F.size(F.collect_set("__sig")).alias("n_signatures"),
         F.count(F.lit(1)).alias("n_rows"),
         F.slice(
             F.sort_array(F.collect_list(cand_struct), asc=False), 1, max_candidates
         ).alias("candidates"),
     )
     return agg.filter(F.col("n_signatures") > 1)
+
+
+class ResolvedBatch:
+    """Winners + conflicts computed by ONE shared aggregation.
+
+    ``agg`` is the persisted per-key aggregate (small: one row per
+    distinct key in the batch); ``winners`` and ``conflicts`` are cheap
+    projections of it. Call :meth:`unpersist` when both consumers have
+    executed.
+    """
+
+    def __init__(self, agg: DataFrame, winners: DataFrame, conflicts: DataFrame):
+        self._agg = agg
+        self.winners = winners
+        self.conflicts = conflicts
+
+    def unpersist(self) -> None:
+        self._agg.unpersist()
+
+
+def resolve_and_detect(
+    df: DataFrame,
+    keys: Sequence[str],
+    signature: Column,
+    lsn_col: str,
+    tie_breakers: Sequence[str] = (),
+    candidate_cols: Sequence[str] = (),
+    max_candidates: int = 20,
+    wide_cols: Sequence[str] = (),
+) -> ResolvedBatch:
+    """Fused LWW winner selection + conflict detection — one shuffle.
+
+    ``resolve_latest`` and ``detect_conflicts`` each group by the same
+    natural key; running them separately scans and shuffles the full
+    batch twice. This fuses them into a single hash aggregation (all
+    aggregates are partial-aggregable — max_by / collect_set /
+    collect_list / count), persists the per-key result (tiny relative
+    to the batch), and serves both outputs from it. At 10^10 events
+    this halves the dominant shuffle.
+
+    ``wide_cols`` (SURVEY.md §7.4 "project early, re-join content for
+    winners"): columns excluded from the shuffled payload — e.g. file
+    ``content``. The signature still sees them (computed pre-drop), but
+    only narrow columns ride through the aggregation; winner rows are
+    then recovered by a semi-join of the original batch on
+    (keys, winning lsn). Requires ``lsn_col`` unique per key (a WAL
+    LSN). With KB-sized contents this shrinks shuffle volume by orders
+    of magnitude; Catalyst/AQE picks broadcast for the winner-key side
+    when it is small.
+    """
+    payload_cols = list(df.columns)
+    wide = [c for c in wide_cols if c in payload_cols]
+    narrow_payload = [c for c in payload_cols if c not in wide]
+    ordering = _ordering_struct(lsn_col, tie_breakers, ascending=False)
+    cand_struct = F.struct(
+        F.col(lsn_col).alias("lsn"), *[F.col(c) for c in candidate_cols]
+    )
+    staged = (
+        df.withColumn("__sig", signature)
+        .withColumn(_PAYLOAD, F.struct(*[F.col(c) for c in narrow_payload]))
+        .withColumn(_ORD, ordering)
+        .select(*keys, _PAYLOAD, _ORD, "__sig", *candidate_cols, lsn_col)
+    )
+    agg = (
+        staged.groupBy(*keys)
+        .agg(
+            F.max_by(_PAYLOAD, _ORD).alias(_PAYLOAD),
+            F.size(F.collect_set("__sig")).alias("n_signatures"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.slice(
+                F.sort_array(F.collect_list(cand_struct), asc=False), 1, max_candidates
+            ).alias("candidates"),
+        )
+        .persist()
+    )
+    if wide:
+        winner_keys = agg.select(
+            *keys, F.col(f"{_PAYLOAD}.{lsn_col}").alias(lsn_col)
+        )
+        winners = df.join(winner_keys, on=[*keys, lsn_col], how="left_semi").select(
+            *payload_cols
+        )
+    else:
+        winners = agg.select(
+            *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload_cols]
+        )
+    conflicts = agg.filter(F.col("n_signatures") > 1).select(
+        *keys, "n_signatures", "n_rows", "candidates"
+    )
+    return ResolvedBatch(agg, winners, conflicts)
 
 
 def apply_changes(

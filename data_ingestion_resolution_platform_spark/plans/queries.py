@@ -628,6 +628,94 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (new operator; reference has no temporal joins —
+    SURVEY.md §2.4): each purchase matched to the user's most recent
+    click at-or-before it. Union+ordered-window plan: one shuffle of
+    |L|+|R| rows, never a cross join."""
+    from data_ingestion_resolution_platform_spark.operators.asof import asof_join
+    from data_ingestion_resolution_platform_spark.operators.cdc import resolve_latest
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    # dedupe right side per (user, ts) so the as-of match is unique
+    clicks_u = resolve_latest(clicks, ["user_id", "c_ts"], "c_event_id")
+    return asof_join(
+        purchases, clicks_u, on=["user_id"], left_ts="p_ts", right_ts="c_ts",
+        right_cols=["c_event_id", "c_ts"],
+    )
+
+
+SQL_ASOF = """
+WITH clicks_u AS (
+  SELECT user_id, c_ts, max(c_event_id) AS c_event_id
+  FROM (SELECT user_id, ts AS c_ts, event_id AS c_event_id
+        FROM events WHERE event_type = 'click')
+  GROUP BY user_id, c_ts
+), purchases AS (
+  SELECT event_id AS p_event_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.p_event_id, p.user_id, p.p_ts, c.c_event_id, c.c_ts
+FROM purchases p
+ASOF LEFT JOIN clicks_u c ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
+"""
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts per event type (streaming-shaped
+    agg run in batch; ``F.window`` bucketing)."""
+    from data_ingestion_resolution_platform_spark.operators.sessions import tumbling_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return tumbling_agg(ev, "ts", 3600, group_cols=["event_type"])
+
+
+SQL_TUMBLING = """
+SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS w_start,
+       event_type, count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) per user:
+    lag + cumulative-sum composition, one shuffle."""
+    from data_ingestion_resolution_platform_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, ["user_id"], "ts", 1800)
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       epoch(max(ts)) - epoch(min(ts)) AS duration_secs,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -669,6 +757,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "ann_topk": q_ann_topk,
     "dedup_embedding_exact": q_dedup_embedding_exact,
+    "asof_purchase_click": q_asof_purchase_click,
+    "events_tumbling": q_events_tumbling,
+    "events_sessionize": q_events_sessionize,
     # rows-only (non-SQL-expressible)
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -700,4 +791,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprints": SQL_FINGERPRINTS,
     "ann_topk": SQL_ANN_TOPK,
     "dedup_embedding_exact": SQL_DEDUP_EMB_EXACT,
+    "asof_purchase_click": SQL_ASOF,
+    "events_tumbling": SQL_TUMBLING,
+    "events_sessionize": SQL_SESSIONIZE,
 }

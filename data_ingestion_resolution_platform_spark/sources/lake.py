@@ -202,6 +202,9 @@ class LakeTable:
         if epoch_id is not None and self.ledger.committed(epoch_id):
             return {"skipped": True, "epoch": str(epoch_id)}
         key_list = list(keys)
+        # batch feeds both the broadcast key side and the upsert union —
+        # persist so the upstream resolve plan executes once
+        batch = batch.persist()
         upserts = (
             batch.filter(~delete_condition) if delete_condition is not None else batch
         )
@@ -224,6 +227,7 @@ class LakeTable:
         if epoch_id is not None:
             self.ledger.record(epoch_id, stats)
         self.versions.vacuum()
+        batch.unpersist()
         return stats
 
 
@@ -313,7 +317,10 @@ class PartitionedLakeTable:
             return {"skipped": True, "epoch": str(epoch_id)}
         key_list = list(keys)
         bcol = self.BUCKET_COL
-        staged = batch.withColumn(bcol, self._bucket_expr())
+        # staged is consumed three times (touched-bucket probe, survivor
+        # anti-join build side, staging write) — persist so the upstream
+        # resolve plan runs once, not three times
+        staged = batch.withColumn(bcol, self._bucket_expr()).persist()
         touched = [r[0] for r in staged.select(bcol).distinct().collect()]
         upserts = (
             staged.filter(~delete_condition) if delete_condition is not None else staged
@@ -353,6 +360,7 @@ class PartitionedLakeTable:
             store.vacuum()
             n_written += 1
         shutil.rmtree(staging, ignore_errors=True)
+        staged.unpersist()
         stats = {"mode": "merge", "touched_buckets": len(touched), "written_buckets": n_written}
         if epoch_id is not None:
             self.ledger.record(epoch_id, stats)

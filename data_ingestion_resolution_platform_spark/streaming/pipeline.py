@@ -22,13 +22,14 @@ checks + clear-and-rebuild + unique-key upserts (SURVEY.md §2.9).
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_resolution_platform_spark.functions.hashing import content_sha256
-from data_ingestion_resolution_platform_spark.operators.cdc import detect_conflicts, resolve_latest
+from data_ingestion_resolution_platform_spark.operators.cdc import resolve_and_detect
 from data_ingestion_resolution_platform_spark.sources.feed import CHANGE_FEED_SCHEMA
 from data_ingestion_resolution_platform_spark.sources.lake import LakeTable, PartitionedLakeTable
 from data_ingestion_resolution_platform_spark.streaming.lineage import lineage_rows
@@ -76,37 +77,52 @@ class CDCPipeline:
         return F.struct(F.col("lang"), content_sha256(F.col("content")).alias("sha"))
 
     def process_batch(self, batch: DataFrame, epoch: int) -> dict:
-        """One micro-batch = one reference ``process_job`` epoch."""
+        """One micro-batch = one reference ``process_job`` epoch.
+
+        Heavy work is ONE fused aggregation over the batch
+        (``resolve_and_detect``: winners + conflicts share the shuffle);
+        lineage is a map-side partition scan; everything downstream
+        reads the small persisted per-key aggregate.
+        """
         if self.target.epoch_committed(epoch):
             return {"skipped": True, "epoch": epoch}
         batch = reconcile_exprs(batch, CHANGE_FEED_SCHEMA, self.renames)
-        # the batch feeds three plans (conflicts, winners, lineage) —
-        # cache it once so the source isn't re-scanned per consumer
-        batch.persist()
+        # deliberately NOT persisted: each consumer (fused agg, winner
+        # semi-join, lineage) reads a column-pruned scan of the source;
+        # caching full rows costs more than the re-scans save (measured)
+        resolved = resolve_and_detect(
+            batch,
+            list(self.keys),
+            self.signature(),
+            self.lsn_col,
+            candidate_cols=["commit", "lang"],
+            max_candidates=10,
+            wide_cols=["content"],
+        )
         try:
-            conflicts = detect_conflicts(
-                batch,
-                list(self.keys),
-                self.signature(),
-                self.lsn_col,
-                candidate_cols=["commit", "lang"],
-                max_candidates=10,
-            ).withColumn("epoch", F.lit(epoch).cast("long"))
-            winners = resolve_latest(batch, list(self.keys), self.lsn_col)
+            conflicts = resolved.conflicts.withColumn(
+                "epoch", F.lit(epoch).cast("long")
+            )
             lin = lineage_rows(batch, epoch, self.lsn_col)
             # write order: audit data first, target + its ledger marker
             # last (a crash in between leaves an uncommitted epoch that
             # replays idempotently; audit appends are ledger-guarded too).
-            self.conflicts.append(conflicts, epoch_id=f"c{epoch}")
-            self.lineage.append(lin, epoch_id=f"l{epoch}")
+            # The two audit writes are independent Spark jobs — submit
+            # them from threads so they overlap (lineage is a map-side
+            # scan of the source; conflicts materializes the fused agg).
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fc = pool.submit(self.conflicts.append, conflicts, f"c{epoch}")
+                fl = pool.submit(self.lineage.append, lin, f"l{epoch}")
+                fc.result()
+                fl.result()
             stats = self.target.merge(
-                winners,
+                resolved.winners,
                 list(self.keys),
                 epoch_id=epoch,
                 delete_condition=F.col("op") == "D",
             )
         finally:
-            batch.unpersist()
+            resolved.unpersist()
         return stats
 
     # -- streaming entry --------------------------------------------------

@@ -1,0 +1,74 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference's only cross-batch state is its DB tables (issue/status
+rows persist between queue messages — SURVEY.md §2.9). For a streaming
+engine, first-class keyed state replaces that: state lives in the
+checkpoint, sharded by key across executors, and survives restarts.
+
+``running_dedup_stream``: emit each natural key's row only the FIRST
+time it is ever seen across the whole stream (cross-micro-batch exact
+dedup — the streaming analogue of ``dedup_exact``). State per key is a
+single marker (+ optional TTL via processing-time timeout), so state
+size is O(distinct keys), not O(events). Arrow-batched per key group —
+no per-row Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_dedup_stream(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """First-seen filter over an unbounded keyed stream.
+
+    Returns a stream with the input schema containing, per key, only
+    rows of the micro-batch where the key was not seen before. With
+    ``ttl_minutes`` the marker expires (sliding re-admission window) —
+    unbounded key spaces then hold bounded state.
+    """
+    out_schema = stream.schema
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def first_seen(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            # key already emitted in a previous batch: drop everything
+            for _ in pdfs:
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf):
+                first = pdf.head(1)
+                break
+        state.update((True,))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if first is not None:
+            yield first
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        first_seen,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -28,6 +28,7 @@ from data_ingestion_resolution_platform_spark.functions.hashing import (
     shingles,
 )
 from data_ingestion_resolution_platform_spark.functions.vectors import quantized_cosine, quantize_vector
+from data_ingestion_resolution_platform_spark.util import ensure_parallelism, reuse_for_self_join
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -69,6 +70,7 @@ def minhash_candidates(
     optional bucket-size guard upstream.
     """
     rows_per_band = num_hashes // num_bands
+    df = ensure_parallelism(df)
     # Explode-based signature computation: one (doc, shingle-hash) row
     # per shingle, then num_hashes `min` aggregates in a single groupBy.
     # The array-expression form (functions/hashing.minhash_signature)
@@ -101,6 +103,9 @@ def minhash_candidates(
     banded = sigs.select("doc", F.explode(F.array(*band_structs)).alias("b")).select(
         "doc", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
     )
+    # tiny (docs x bands) frame, expensive lineage: materialize once so
+    # the self-join below doesn't run the shingle pipeline twice
+    banded = reuse_for_self_join(banded)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -134,7 +139,10 @@ def ngram_jaccard(
         F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
     )
     block = block_expr if block_expr is not None else (F.length(F.col(text_col)) / 100).cast("int")
-    base = df.select(F.col(id_col).alias("doc"), toks.alias("toks"), block.alias("blk"))
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), toks.alias("toks"), block.alias("blk")
+    )
+    base = reuse_for_self_join(base)
     l, r = base.alias("l"), base.alias("r")
     inter = F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks")))
     union = F.size(F.array_distinct(F.concat(F.col("l.toks"), F.col("r.toks"))))
@@ -159,7 +167,7 @@ def simhash_near_dups(
     with 64 bit-majority aggregates over per-shingle xxhash64 rows —
     single codegen'd aggregation, scales to any corpus size.
     """
-    base = df.select(
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), 3)).alias("s"),
     ).select("doc", F.xxhash64("s").alias("h"))
@@ -189,6 +197,7 @@ def simhash_near_dups(
             )
         ).alias("c"),
     ).select("doc", "sh", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk"))
+    chunks = reuse_for_self_join(chunks)
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(
@@ -227,7 +236,9 @@ def embedding_near_dups(
     numpy state; candidate generation is a bucket equi-join (shuffle on
     (table, bucket)), never a cross join.
     """
-    q = df.select(F.col(id_col).alias("doc"), quantize_vector(F.col(vec_col)).alias("qv"))
+    q = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), quantize_vector(F.col(vec_col)).alias("qv")
+    )
 
     # sign bit per (table, plane): dot(v, plane) >= 0 where plane
     # components are ±1 chosen by xxhash64(dim, table, plane, seed)
@@ -251,6 +262,7 @@ def embedding_near_dups(
     blocked = q.select(
         "doc", "qv", F.explode(F.array(*buckets)).alias("b")
     ).select("doc", "qv", F.col("b.tbl").alias("tbl"), F.col("b.bucket").alias("bucket"))
+    blocked = reuse_for_self_join(blocked)
     l, r = blocked.alias("l"), blocked.alias("r")
     return (
         l.join(

@@ -53,6 +53,7 @@ def synth_change_feed(
     seed: int = 42,
     delete_frac: float = 0.05,
     partitions: int | None = None,
+    content_words: int = 30,
 ) -> DataFrame:
     """Deterministic WAL-style change feed over source-code rows.
 
@@ -77,10 +78,12 @@ def synth_change_feed(
         .when(u_op < delete_frac + 0.35, F.lit("I"))
         .otherwise(F.lit("U"))
     )
-    # content: 30 vocabulary words picked by seeded hashes + a unique tail
+    # content: ``content_words`` vocabulary words picked by seeded
+    # hashes + a unique tail (~6.3 bytes/word; 150 words ~ 1 KB — the
+    # realistic source-file scale for compute-bound benchmarks)
     words = F.array(*[F.lit(w) for w in _WORDS])
     picks = F.transform(
-        F.sequence(F.lit(1), F.lit(30)),
+        F.sequence(F.lit(1), F.lit(content_words)),
         lambda i: F.element_at(
             words, (F.pmod(F.xxhash64(lsn, i, F.lit(seed + 3)), F.lit(len(_WORDS))) + 1).cast("int")
         ),
@@ -137,20 +140,22 @@ def read_contacts_csv(spark: SparkSession, path: str) -> DataFrame:
     - ``_row_number`` reproduces 1-based data line numbers starting at
       2 (header = line 1) — the reference's ordinal LSN.
     """
-    schema = T.StructType(
-        [
-            T.StructField("email", T.StringType(), True),
-            T.StructField("first_name", T.StringType(), True),
-            T.StructField("last_name", T.StringType(), True),
-            T.StructField("company", T.StringType(), True),
-            T.StructField("_corrupt", T.StringType(), True),
-        ]
-    )
+    # Read the physical header first: an explicit schema + header=True
+    # binds POSITIONALLY in Spark CSV, but the reference projects by
+    # column NAME (`worker.py:305-319` — extras dropped, missing ⇒
+    # None), so the file's own columns define the read schema and the
+    # canonical projection happens by name afterwards.
     raw_cols = (
         spark.read.option("header", True).option("inferSchema", False).csv(path).columns
     )
-    if "email" not in [c.lower().lstrip("﻿") for c in raw_cols]:
+    clean = [c.lstrip("﻿") for c in raw_cols]
+    by_lower = {c.lower(): raw for c, raw in zip(clean, raw_cols)}
+    if "email" not in by_lower:
         raise ValueError("CSV file must have an 'email' column")
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in raw_cols]
+        + [T.StructField("_corrupt", T.StringType(), True)]
+    )
     df = (
         spark.read.option("header", True)
         .option("mode", "PERMISSIVE")
@@ -159,8 +164,15 @@ def read_contacts_csv(spark: SparkSession, path: str) -> DataFrame:
         .schema(schema)
         .csv(path)
     )
+    wanted = ["email", "first_name", "last_name", "company"]
+    cols = [
+        F.col(f"`{by_lower[w]}`").alias(w)
+        if w in by_lower
+        else F.lit(None).cast("string").alias(w)
+        for w in wanted
+    ]
     # monotonically_increasing_id is partition-ordered; for a single
     # bounded file this reproduces input order without a global sort.
-    return df.withColumn(
+    return df.select(*cols, F.col("_corrupt")).withColumn(
         "_row_number", F.monotonically_increasing_id() + 2
     )

@@ -153,14 +153,27 @@ class LakeTable:
             self.ledger.record(epoch_id, {"mode": "overwrite"})
         self.versions.vacuum()
 
-    def append(self, df: DataFrame, epoch_id: str | int | None = None) -> None:
+    def append(
+        self,
+        df: DataFrame,
+        epoch_id: str | int | None = None,
+        max_files: int | None = 4,
+    ) -> None:
         """S9: append (bronze/audit). ``append_only`` tables write one
-        epoch subdir — no rewrite of prior data, true O(batch) cost."""
+        epoch subdir — no rewrite of prior data, true O(batch) cost.
+
+        ``max_files`` coalesces the write: audit outputs are small
+        relative to their input (per-key conflicts, per-partition
+        lineage), and a 32-task write of a 30k-row frame costs more in
+        task launch + commit protocol than the write itself. Pass
+        ``None`` to keep the natural partitioning for large appends.
+        """
         if epoch_id is not None and self.ledger.committed(epoch_id):
             return
         if self.append_only:
             sub = f"e={epoch_id if epoch_id is not None else int(time.time() * 1000)}"
-            df.write.mode("overwrite").parquet(os.path.join(self._data_dir, sub))
+            out = df.coalesce(max_files) if max_files else df
+            out.write.mode("overwrite").parquet(os.path.join(self._data_dir, sub))
         else:
             v = self.versions.current()
             combined = (
@@ -335,10 +348,16 @@ class PartitionedLakeTable:
         else:
             merged = upserts
         # one staging write partitioned by bucket, then per-bucket
-        # pointer swaps (the "commit" of each touched bucket)
+        # pointer swaps (the "commit" of each touched bucket).
+        # repartition on the bucket column first: every task then owns
+        # whole buckets, so the staging dir holds ~1 file per bucket
+        # instead of (tasks x buckets) fragments — file-count hygiene
+        # that compounds across epochs (survivor scans stay cheap).
         staging = os.path.join(self.root, f"_staging_{epoch_id if epoch_id is not None else 'adhoc'}")
         shutil.rmtree(staging, ignore_errors=True)
-        merged.write.mode("overwrite").partitionBy(bcol).parquet(staging)
+        merged.repartition(self.n_buckets, F.col(bcol)).write.mode(
+            "overwrite"
+        ).partitionBy(bcol).parquet(staging)
         n_written = 0
         for b in touched:
             src = os.path.join(staging, f"{bcol}={b}")

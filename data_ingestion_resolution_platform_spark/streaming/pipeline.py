@@ -112,7 +112,7 @@ class CDCPipeline:
             # scan of the source; conflicts materializes the fused agg).
             with ThreadPoolExecutor(max_workers=2) as pool:
                 fc = pool.submit(self.conflicts.append, conflicts, f"c{epoch}")
-                fl = pool.submit(self.lineage.append, lin, f"l{epoch}")
+                fl = pool.submit(self.lineage.append, lin, f"l{epoch}", 1)
                 fc.result()
                 fl.result()
             stats = self.target.merge(

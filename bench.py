@@ -146,6 +146,47 @@ def run_resolve_core(parallelism: int, n_events: int) -> dict:
     }
 
 
+def hw_scaling_probe(n: int, n4: int, seconds: float = 10.0) -> dict:
+    """Framework-free CPU-scaling ceiling of THIS host: parallel sha256
+    loops via multiprocessing (no JVM, no shuffle, no allocation churn).
+
+    On oversubscribed/overcommitted VMs 4x the processes deliver less
+    than 4x the hashes; whatever ratio this probe reports is the ceiling
+    ANY engine can reach here, so the engine's scaling efficiency should
+    be read relative to it. A real cluster's nodes do not share a CPU
+    budget this way.
+    """
+    from multiprocessing import Pool
+
+    def rate(k: int) -> float:
+        with Pool(k) as p:
+            t0 = time.time()
+            counts = p.map(_hash_worker, [seconds] * k)
+            el = time.time() - t0
+        return sum(counts) / el
+
+    r_n = rate(n)
+    r_4n = rate(n4)
+    return {
+        "hw_rate_n": round(r_n, 0),
+        "hw_rate_4n": round(r_4n, 0),
+        "hw_efficiency": round((r_4n / r_n) / (n4 / n), 3),
+    }
+
+
+def _hash_worker(seconds: float) -> int:
+    import hashlib
+
+    h = b"seed"
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < seconds:
+        for _ in range(1000):
+            h = hashlib.sha256(h * 8).digest()
+        n += 1000
+    return n
+
+
 HEADLINE = [
     "cdc_apply_changes",
     "cdc_conflicts",
@@ -218,6 +259,9 @@ def main() -> None:
         # scales with a real cluster; this VM's one disk does not
         if os.path.isdir("/dev/shm") and "SPARK_GRAFT_BENCH_DIR" not in env:
             env["SPARK_GRAFT_BENCH_DIR"] = "/dev/shm"
+        # large heap: allocation-rate GC contention at 4N threads is the
+        # main JVM-side scaling tax; a roomy young gen removes most of it
+        env.setdefault("SPARK_DRIVER_MEMORY", "48g")
         results: dict[str, dict[int, dict]] = {"core": {}, "e2e": {}}
         # interleave levels and keep the best rep per level: a fresh-boot
         # JVM, page-cache state, and async writeback from the *previous*
@@ -248,9 +292,12 @@ def main() -> None:
             m = results[mode]
             return round((m[n4]["events_per_sec"] / m[n]["events_per_sec"]) / (n4 / n), 3)
 
+        hw = hw_scaling_probe(n, n4)
         print(json.dumps({
             "metric": "cdc_scaling_efficiency",
             "value": eff("core"),
+            "normalized_vs_host_ceiling": round(eff("core") / hw["hw_efficiency"], 3),
+            **hw,
             "unit": "ratio",
             "n": n, "4n": n4,
             "core_events_per_sec_n": results["core"][n]["events_per_sec"],

@@ -275,6 +275,32 @@ def apply_changes(
     return winners.filter(F.col(op_col) != F.lit("D"))
 
 
+def open_conflicts(
+    conflict_log: DataFrame,
+    resolutions: DataFrame | None,
+    keys: Sequence[str],
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """The reference's don't-reopen-resolved rule (`worker.py:108-110,
+    124-127`) over an append-only conflict log.
+
+    The log holds one row per (epoch, key) re-detection; the *open* set
+    is the latest detection per key minus keys present in
+    ``resolutions``. A re-delivered conflict therefore refreshes its
+    candidate payload (latest row wins) without reviving a resolved
+    one — the MERGE-condition nuance of M1 expressed as
+    latest-per-key + anti-join.
+    """
+    latest = resolve_latest(conflict_log, keys, epoch_col)
+    if resolutions is None:
+        return latest
+    return latest.join(
+        F.broadcast(resolutions.select(*keys).distinct()),
+        on=list(keys),
+        how="left_anti",
+    )
+
+
 def normalize_contacts(df: DataFrame) -> DataFrame:
     """The reference's per-row pipeline (P1-P6, `worker.py:286-374`) as
     one projection: adds normalized/cleaned columns, identity signature,

@@ -18,18 +18,22 @@ def get_spark(
     parallelism: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     ``parallelism`` sets ``local[N]``; defaults to ``$SPARK_GRAFT_CPUS``
-    or all cores. Shuffle partitions default to the parallelism level:
-    on a real cluster this would instead be ~2-3x total executor cores,
-    and AQE coalesces small post-shuffle partitions either way.
+    or all cores. ``master`` overrides entirely (e.g.
+    ``local-cluster[4,6,8192]`` for multi-executor-JVM scaling probes,
+    or a real cluster URL). Shuffle partitions default to the
+    parallelism level: on a real cluster this would instead be ~2-3x
+    total executor cores, and AQE coalesces small post-shuffle
+    partitions either way.
     """
     cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     shuffle = shuffle_partitions or cpus
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")

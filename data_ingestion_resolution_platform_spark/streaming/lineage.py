@@ -25,9 +25,20 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("n_deletes", T.LongType(), False),
         T.StructField("min_lsn", T.LongType(), True),
         T.StructField("max_lsn", T.LongType(), True),
+        T.StructField("n_conflicts", T.LongType(), True),
         T.StructField("status", T.StringType(), False),
     ]
 )
+
+
+def epoch_summary(spark, epoch: int, status: str, n_conflicts: int) -> DataFrame:
+    """One epoch-level status row (partition_id = -1): the reference's
+    job status machine (M7, `constants.py:3-8`) — PROCESSING epochs end
+    COMPLETED / NEEDS_REVIEW / FAILED. Consumers filter
+    ``partition_id == -1`` for status history."""
+    return spark.createDataFrame(
+        [(epoch, -1, 0, 0, 0, 0, None, None, n_conflicts, status)], LINEAGE_SCHEMA
+    )
 
 
 def lineage_rows(batch: DataFrame, epoch: int, lsn_col: str = "lsn", op_col: str = "op") -> DataFrame:
@@ -56,6 +67,7 @@ def lineage_rows(batch: DataFrame, epoch: int, lsn_col: str = "lsn", op_col: str
             "n_deletes",
             "min_lsn",
             "max_lsn",
+            F.lit(None).cast("long").alias("n_conflicts"),
             F.lit("COMMITTED").alias("status"),
         )
     )

@@ -32,7 +32,7 @@ from data_ingestion_resolution_platform_spark.functions.hashing import content_s
 from data_ingestion_resolution_platform_spark.operators.cdc import resolve_and_detect
 from data_ingestion_resolution_platform_spark.sources.feed import CHANGE_FEED_SCHEMA
 from data_ingestion_resolution_platform_spark.sources.lake import LakeTable, PartitionedLakeTable
-from data_ingestion_resolution_platform_spark.streaming.lineage import lineage_rows
+from data_ingestion_resolution_platform_spark.streaming.lineage import epoch_summary, lineage_rows
 from data_ingestion_resolution_platform_spark.streaming.schema_evolution import reconcile_exprs
 
 
@@ -121,6 +121,27 @@ class CDCPipeline:
                 epoch_id=epoch,
                 delete_condition=F.col("op") == "D",
             )
+            # A7/M7 status decision (reference `worker.py:404-411`):
+            # conflicts ⇒ NEEDS_REVIEW, else COMPLETED. Cheap — reads
+            # the cached per-key aggregate, writes one summary row.
+            n_conf = conflicts.count()
+            status = "NEEDS_REVIEW" if n_conf else "COMPLETED"
+            self.lineage.append(
+                epoch_summary(self.spark, epoch, status, n_conf), f"s{epoch}", 1
+            )
+            stats["status"] = status
+            stats["conflicts"] = n_conf
+        except Exception:
+            # poison-pill guard (`worker.py:413-415,445-457`): record a
+            # FAILED epoch row best-effort, then surface the error so
+            # the checkpoint does NOT advance (at-least-once redelivery)
+            try:
+                self.lineage.append(
+                    epoch_summary(self.spark, epoch, "FAILED", 0), f"s{epoch}", 1
+                )
+            except Exception:
+                pass
+            raise
         finally:
             resolved.unpersist()
         return stats

@@ -158,11 +158,19 @@ def hw_scaling_probe(n: int, n4: int, seconds: float = 10.0) -> dict:
     """
     from multiprocessing import Pool
 
+    all_cpus = set(range(os.cpu_count() or 1))
+
     def rate(k: int) -> float:
-        with Pool(k) as p:
-            t0 = time.time()
-            counts = p.map(_hash_worker, [seconds] * k)
-            el = time.time() - t0
+        # pin to k CPUs (children inherit at fork) — same affinity model
+        # as the engine probes
+        os.sched_setaffinity(0, set(range(k)))
+        try:
+            with Pool(k) as p:
+                t0 = time.time()
+                counts = p.map(_hash_worker, [seconds] * k)
+                el = time.time() - t0
+        finally:
+            os.sched_setaffinity(0, all_cpus)
         return sum(counts) / el
 
     r_n = rate(n)
@@ -277,8 +285,14 @@ def main() -> None:
                 for par in (n4, n):
                     subprocess.run(["sync"], check=False)
                     time.sleep(5)
+                    # pin the subprocess to exactly `par` CPUs: at
+                    # local[N] on a bigger box the JVM's GC/JIT/shuffle
+                    # helper threads otherwise run on the idle cores,
+                    # inflating the small-N level — a real N-core node
+                    # has no free cores to donate
                     proc = subprocess.run(
-                        [sys.executable, __file__, flag, str(par)],
+                        ["taskset", "-c", f"0-{par - 1}",
+                         sys.executable, __file__, flag, str(par)],
                         capture_output=True, text=True, env=env,
                         cwd=os.path.dirname(os.path.abspath(__file__)),
                     )

@@ -23,6 +23,32 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def windowed_counts_stream(
+    stream: DataFrame,
+    ts_col: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream.
+
+    Late rows within ``watermark`` update their window; older ones are
+    dropped and the window state is finalized and evicted — bounded
+    state for unbounded streams. LWW semantics downstream make a
+    late-finalized window idempotent to re-merge (SURVEY.md §2.9: the
+    engine's late-data answer is LSN ordering, not arrival ordering).
+    """
+    from pyspark.sql import functions as F
+
+    w = F.window(F.col(ts_col), window)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), *group_cols, "n_events")
+    )
+
+
 def running_dedup_stream(
     stream: DataFrame,
     key_cols: Sequence[str],

@@ -159,3 +159,53 @@ def test_running_dedup_stream(spark, tmp_path):
     got = {r.k: r.v for r in out.collect()}
     # 'a' kept from batch 1 only; duplicate in batch 2 suppressed
     assert got == {"a": 1, "b": 2, "c": 3}
+
+
+def test_windowed_counts_stream_watermark(spark, tmp_path):
+    """Watermarked tumbling windows over a file stream finalize in
+    append mode once the watermark passes the window end."""
+    from data_ingestion_resolution_platform_spark.streaming.stateful import (
+        windowed_counts_stream,
+    )
+
+    feed = str(tmp_path / "wfeed")
+    ckpt = str(tmp_path / "wckpt")
+    sink = str(tmp_path / "wsink")
+    os.makedirs(feed, exist_ok=True)
+    schema = "ts timestamp, k string"
+
+    def emit(rows):
+        spark.createDataFrame(rows, "ts string, k string").select(
+            F.col("ts").cast("timestamp").alias("ts"), "k"
+        ).coalesce(1).write.mode("append").parquet(feed)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(feed)
+        agg = windowed_counts_stream(
+            stream, "ts", window="10 minutes", watermark="5 minutes", group_cols=["k"]
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(120)
+
+    emit([("2024-01-01 10:01:00", "a"), ("2024-01-01 10:02:00", "a")])
+    run_once()
+    # advance the watermark far past the first window, adding one late
+    # (dropped) row and one fresh row
+    emit([("2024-01-01 10:03:00", "a"),          # late but within no finalized window yet
+          ("2024-01-01 11:00:00", "a")])
+    run_once()
+    emit([("2024-01-01 12:00:00", "a")])          # pushes watermark past 11:10
+    run_once()
+    out = spark.read.parquet(sink)
+    got = {str(r.w_start): r.n_events for r in out.filter(F.col("k") == "a").collect()}
+    # the 10:00 window finalized with ALL three rows counted (the third
+    # arrived before the watermark passed 10:10)
+    assert got.get("2024-01-01 10:00:00") == 3
+    assert got.get("2024-01-01 11:00:00") == 1

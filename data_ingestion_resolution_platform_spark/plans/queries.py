@@ -716,6 +716,40 @@ GROUP BY user_id, session_seq
 """
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 (JSON decode/encode at boundaries, `worker.py:84-85`):
+    extract the typed payload field from the JSON ``props`` column,
+    aggregate, and re-encode a JSON summary — from_json/to_json as
+    column expressions, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    agg = (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+    return agg.select(
+        "event_type", "n_events", "sum_k",
+        F.to_json(F.struct(F.col("min_k"), F.col("max_k"))).alias("range_json"),
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       '{"min_k":' || min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+         || ',"max_k":' || max(CAST(json_extract_string(props, '$.k') AS BIGINT)) || '}'
+         AS range_json
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -760,6 +794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_click": q_asof_purchase_click,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
+    "events_json_props": q_events_json_props,
     # rows-only (non-SQL-expressible)
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -794,4 +829,5 @@ ORACLES: dict[str, str] = {
     "asof_purchase_click": SQL_ASOF,
     "events_tumbling": SQL_TUMBLING,
     "events_sessionize": SQL_SESSIONIZE,
+    "events_json_props": SQL_JSON_PROPS,
 }

@@ -52,6 +52,13 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    # NULL right timestamps must never match (DuckDB ASOF `l.ts >= r.ts`
+    # is NULL-false); without this filter Spark's nulls-first window
+    # ordering would sort a NULL-ts right row before everything and
+    # last(ignorenulls) would carry its payload forward. NULL-ts left
+    # rows sort first in their partition and come out unmatched — the
+    # correct passthrough — so only the right side needs filtering.
+    right = right.filter(F.col(right_ts).isNotNull())
     keys = list(on)
     rcols = [c for c in (right_cols or right.columns) if c not in keys]
     lcols = left.columns

@@ -13,11 +13,16 @@ ingest worker) as declarative DataFrame plans:
   `main.py:225-243`) → ``apply_changes`` (I/U/D ops + LWW by LSN).
 
 Scale notes (100 TB / 10^10 events):
-- Winner selection avoids a global window when ``salted=True``: a
-  two-phase ``max_by`` aggregation does map-side partial aggregation
-  (per input partition) before the shuffle, so a hot key never
-  concentrates its raw rows on one reducer. A ``row_number`` window
-  would shuffle *all* rows of a key to one task first.
+- Winner selection avoids a global window: a ``max_by`` hash
+  aggregation does map-side partial aggregation (per input partition)
+  before the shuffle, so a hot key never concentrates its raw rows on
+  one reducer; ``strategy="salted"`` adds an explicit (key, salt)
+  two-phase on top. A ``row_number`` window would shuffle *all* rows
+  of a key to one task first.
+- Conflict candidate lists are computed only for conflicted keys and
+  always through the two-phase ``bounded_candidates`` plan — reducer
+  state is capped at ``n_salt × max_candidates`` rows per key no
+  matter how hot the key.
 - Wide payloads ride inside the ``max_by`` struct, so only one payload
   per (key, partial) survives the shuffle — the "project early,
   re-join content for winners" guard from SURVEY.md §7.4 is built in.
@@ -57,29 +62,37 @@ def resolve_latest(
     keys: Sequence[str],
     lsn_col: str,
     tie_breakers: Sequence[str] = (),
-    salted: bool = True,
+    strategy: str = "agg",
+    n_salt: int = 16,
 ) -> DataFrame:
     """Last-writer-wins: one row per key, the max-(lsn, ties) row.
 
-    ``salted=True`` (default) uses two-phase aggregation with map-side
-    partial ``max_by`` — the skew-safe plan for hot keys. The result is
-    identical to ``row_number() over (partition by keys order by lsn
-    desc) = 1`` with deterministic tie-breaks, but no single reducer
-    ever sees more than one candidate row per (key, input-partition).
+    ``strategy`` names the physical plan honestly (all three produce
+    identical results):
+
+    - ``"agg"`` (default): single ``max_by`` hash aggregation. Spark's
+      map-side partial aggregation compacts each input partition to one
+      candidate per key before the shuffle, so a hot key's reducer sees
+      at most one row per input partition — sufficient for pure LWW.
+    - ``"salted"``: explicit two-phase via :func:`skew.salted_latest` —
+      phase 1 aggregates per (key, salt), phase 2 merges ≤ ``n_salt``
+      partials per key. Use when partial aggregation is disabled or the
+      per-partition candidate fan-in itself is a concern.
+    - ``"window"``: ``row_number`` window — shuffles *all* rows of a key
+      to one task; kept for plan comparison tests only.
     """
     payload_cols = [c for c in df.columns]
+    if strategy == "salted":
+        from data_ingestion_resolution_platform_spark.operators.skew import salted_latest
+
+        return salted_latest(df, keys, lsn_col, n_salt=n_salt, tie_breakers=tie_breakers)
     ordering = _ordering_struct(lsn_col, tie_breakers, ascending=False)
     staged = df.withColumn(_PAYLOAD, F.struct(*[F.col(c) for c in payload_cols])).withColumn(
         _ORD, ordering
     )
-    if salted:
-        # Spark's hash aggregate already performs map-side partial
-        # aggregation for max_by, which is exactly the salt-then-merge
-        # two-phase shape; an explicit salt column is only needed for
-        # window-based plans. We keep it single groupBy + rely on
-        # partial agg; AQE handles residual reducer skew.
+    if strategy == "agg":
         winners = staged.groupBy(*keys).agg(F.max_by(_PAYLOAD, _ORD).alias(_PAYLOAD))
-    else:
+    elif strategy == "window":
         w = Window.partitionBy(*keys).orderBy(
             F.col(lsn_col).desc(), *[F.col(t).desc() for t in tie_breakers]
         )
@@ -88,6 +101,8 @@ def resolve_latest(
             .filter(F.col("__rn") == 1)
             .select(*keys, _PAYLOAD)
         )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r} (agg|salted|window)")
     return winners.select(*[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload_cols])
 
 
@@ -133,6 +148,49 @@ def resolve_with_choices(
     return winners.select(*[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload_cols])
 
 
+def bounded_candidates(
+    df: DataFrame,
+    keys: Sequence[str],
+    lsn_col: str,
+    candidate_cols: Sequence[str] = (),
+    max_candidates: int = 20,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Exact top-``max_candidates``-by-(lsn, candidate_cols) per key with
+    BOUNDED aggregation state — the A3 scale guard done right.
+
+    Two-phase explicit salt (`skew.with_salt` on ``xxhash64(lsn)``):
+    phase 1 collects + slices per (key, salt) — a hot key's rows spread
+    over ``n_salt`` reducers, each materializing at most its salt share;
+    phase 2 merges ≤ ``n_salt`` pre-sliced partials (≤ ``n_salt ×
+    max_candidates`` rows per key, the hard reducer-state bound) and
+    re-slices. Top-k of per-salt top-ks is exact: any global top-k row
+    is in its own salt's top-k (same total struct ordering both phases).
+    A single-phase ``slice(sort_array(collect_list(...)))`` — the shape
+    the reference's `worker.py:382-390` payload collection implies —
+    would materialize *every* row of a 10^7-event hot key on one reducer
+    before truncating.
+    """
+    from data_ingestion_resolution_platform_spark.operators.skew import SALT_COL, with_salt
+
+    cand_struct = F.struct(
+        F.col(lsn_col).alias("lsn"), *[F.col(c) for c in candidate_cols]
+    )
+    salted = with_salt(df, n_salt, entropy=F.xxhash64(F.col(lsn_col)))
+    partial = salted.groupBy(*keys, SALT_COL).agg(
+        F.slice(
+            F.sort_array(F.collect_list(cand_struct), asc=False), 1, max_candidates
+        ).alias("__cands")
+    )
+    return partial.groupBy(*keys).agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("__cands")), asc=False),
+            1,
+            max_candidates,
+        ).alias("candidates")
+    )
+
+
 def detect_conflicts(
     df: DataFrame,
     keys: Sequence[str],
@@ -140,6 +198,7 @@ def detect_conflicts(
     lsn_col: str,
     candidate_cols: Sequence[str] = (),
     max_candidates: int = 20,
+    n_salt: int = 16,
 ) -> DataFrame:
     """A2/A3 (`worker.py:376-392`): keys whose rows disagree on identity.
 
@@ -147,11 +206,14 @@ def detect_conflicts(
     bounded candidate list (top-``max_candidates`` by LSN — the scale
     guard the reference lacks: its payload collected *every* row).
     Output: keys..., n_signatures, n_rows, candidates(array<struct>).
+
+    Candidate lists are only needed for *conflicted* keys (a small set
+    by definition), so the main aggregation carries no per-row state:
+    ``collect_set`` of distinct signatures + count only. Candidates are
+    then computed over the conflicted subset (semi-join) with the
+    two-phase bounded :func:`bounded_candidates` plan.
     """
     sig_df = df.withColumn("__sig", signature)
-    cand_struct = F.struct(
-        F.col(lsn_col).alias("lsn"), *[F.col(c) for c in candidate_cols]
-    )
     # NOT countDistinct: mixing a distinct aggregate with plain ones
     # makes Catalyst insert an Expand (every input row duplicated through
     # the shuffle — measured 2-6x slower on wide CDC batches).
@@ -160,11 +222,13 @@ def detect_conflicts(
     agg = sig_df.groupBy(*keys).agg(
         F.size(F.collect_set("__sig")).alias("n_signatures"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.slice(
-            F.sort_array(F.collect_list(cand_struct), asc=False), 1, max_candidates
-        ).alias("candidates"),
     )
-    return agg.filter(F.col("n_signatures") > 1)
+    conflicted = agg.filter(F.col("n_signatures") > 1)
+    cand_input = df.join(conflicted.select(*keys), on=list(keys), how="left_semi")
+    cands = bounded_candidates(
+        cand_input, keys, lsn_col, candidate_cols, max_candidates, n_salt
+    )
+    return conflicted.join(cands, on=list(keys), how="inner")
 
 
 class ResolvedBatch:
@@ -194,39 +258,47 @@ def resolve_and_detect(
     candidate_cols: Sequence[str] = (),
     max_candidates: int = 20,
     wide_cols: Sequence[str] = (),
+    n_salt: int = 16,
 ) -> ResolvedBatch:
-    """Fused LWW winner selection + conflict detection — one shuffle.
+    """Fused LWW winner selection + conflict detection — one main shuffle.
 
     ``resolve_latest`` and ``detect_conflicts`` each group by the same
     natural key; running them separately scans and shuffles the full
-    batch twice. This fuses them into a single hash aggregation (all
-    aggregates are partial-aggregable — max_by / collect_set /
-    collect_list / count), persists the per-key result (tiny relative
-    to the batch), and serves both outputs from it. At 10^10 events
-    this halves the dominant shuffle.
+    batch twice. This fuses them into a single hash aggregation whose
+    per-key state is strictly BOUNDED (max_by = 1 payload, collect_set =
+    distinct signatures, count = scalar — no per-row candidate list),
+    persists the per-key result (tiny relative to the batch), and serves
+    both outputs from it. At 10^10 events this halves the dominant
+    shuffle and keeps a 10^7-event hot key from materializing its rows
+    on any single reducer.
+
+    Candidate lists exist only for *conflicted* keys, so they are
+    computed on the conflicted subset (semi-join against the persisted
+    per-key aggregate, narrow columns only) via the two-phase salted
+    :func:`bounded_candidates` plan — reducer state ≤ ``n_salt ×
+    max_candidates`` rows per key by construction.
 
     ``wide_cols`` (SURVEY.md §7.4 "project early, re-join content for
     winners"): columns excluded from the shuffled payload — e.g. file
     ``content``. The signature still sees them (computed pre-drop), but
     only narrow columns ride through the aggregation; winner rows are
     then recovered by a semi-join of the original batch on
-    (keys, winning lsn). Requires ``lsn_col`` unique per key (a WAL
-    LSN). With KB-sized contents this shrinks shuffle volume by orders
-    of magnitude; Catalyst/AQE picks broadcast for the winner-key side
-    when it is small.
+    (keys, winning lsn). Duplicate deliveries of the winning (key, lsn)
+    row — a normal at-least-once CDC condition — are collapsed with a
+    ``dropDuplicates`` on the small winner set so ``merge()``'s
+    key-unique precondition holds. With KB-sized contents this shrinks
+    shuffle volume by orders of magnitude; Catalyst/AQE picks broadcast
+    for the winner-key side when it is small.
     """
     payload_cols = list(df.columns)
     wide = [c for c in wide_cols if c in payload_cols]
     narrow_payload = [c for c in payload_cols if c not in wide]
     ordering = _ordering_struct(lsn_col, tie_breakers, ascending=False)
-    cand_struct = F.struct(
-        F.col(lsn_col).alias("lsn"), *[F.col(c) for c in candidate_cols]
-    )
     staged = (
         df.withColumn("__sig", signature)
         .withColumn(_PAYLOAD, F.struct(*[F.col(c) for c in narrow_payload]))
         .withColumn(_ORD, ordering)
-        .select(*keys, _PAYLOAD, _ORD, "__sig", *candidate_cols, lsn_col)
+        .select(*keys, _PAYLOAD, _ORD, "__sig")
     )
     agg = (
         staged.groupBy(*keys)
@@ -234,9 +306,6 @@ def resolve_and_detect(
             F.max_by(_PAYLOAD, _ORD).alias(_PAYLOAD),
             F.size(F.collect_set("__sig")).alias("n_signatures"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.slice(
-                F.sort_array(F.collect_list(cand_struct), asc=False), 1, max_candidates
-            ).alias("candidates"),
         )
         .persist()
     )
@@ -244,16 +313,25 @@ def resolve_and_detect(
         winner_keys = agg.select(
             *keys, F.col(f"{_PAYLOAD}.{lsn_col}").alias(lsn_col)
         )
-        winners = df.join(winner_keys, on=[*keys, lsn_col], how="left_semi").select(
-            *payload_cols
+        winners = (
+            df.join(winner_keys, on=[*keys, lsn_col], how="left_semi")
+            .select(*payload_cols)
+            .dropDuplicates([*keys, lsn_col])
         )
     else:
         winners = agg.select(
             *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload_cols]
         )
-    conflicts = agg.filter(F.col("n_signatures") > 1).select(
-        *keys, "n_signatures", "n_rows", "candidates"
+    conflicted = agg.filter(F.col("n_signatures") > 1).select(
+        *keys, "n_signatures", "n_rows"
     )
+    cand_input = df.select(*keys, lsn_col, *candidate_cols).join(
+        conflicted.select(*keys), on=list(keys), how="left_semi"
+    )
+    cands = bounded_candidates(
+        cand_input, keys, lsn_col, candidate_cols, max_candidates, n_salt
+    )
+    conflicts = conflicted.join(cands, on=list(keys), how="inner")
     return ResolvedBatch(agg, winners, conflicts)
 
 

@@ -60,10 +60,13 @@ def session_stats(
     """One row per (key, session): start/end/duration/event count."""
     s = sessionize(df, key_cols, ts_col, gap_seconds)
     ep = _epoch_double(s, ts_col)
+    # duration as BIGINT whole seconds (floor): representation-robust
+    # across engines — DuckDB epoch() returns BIGINT or DOUBLE depending
+    # on version, and "1800" vs "1800.0" hash differently downstream.
     return s.groupBy(*key_cols, "session_seq").agg(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
-        (F.max(ep) - F.min(ep)).alias("duration_secs"),
+        F.floor(F.max(ep) - F.min(ep)).cast("long").alias("duration_secs"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

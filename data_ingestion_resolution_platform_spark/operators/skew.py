@@ -41,20 +41,25 @@ def salted_latest(
     keys: Sequence[str],
     lsn_col: str,
     n_salt: int = 16,
+    tie_breakers: Sequence[str] = (),
 ) -> DataFrame:
     """Two-phase explicit-salt LWW: max_by per (key, salt), then per key.
 
     Phase 1 shuffles on (key, salt) — a hot key spreads over n_salt
     reducers; phase 2 shuffles at most n_salt rows per key.
-    Semantically identical to ``resolve_latest``.
+    Semantically identical to ``resolve_latest`` (including
+    deterministic ``tie_breakers`` ordering after the LSN).
     """
     payload_cols = list(df.columns)
+    ordering = F.struct(F.col(lsn_col), *[F.col(t) for t in tie_breakers])
     salted = with_salt(df, n_salt, entropy=F.xxhash64(F.col(lsn_col)))
-    staged = salted.withColumn("__p", F.struct(*[F.col(c) for c in payload_cols]))
+    staged = salted.withColumn(
+        "__p", F.struct(*[F.col(c) for c in payload_cols])
+    ).withColumn("__o", ordering)
     partial = staged.groupBy(*keys, SALT_COL).agg(
-        F.max_by("__p", F.col(lsn_col)).alias("__p"), F.max(lsn_col).alias("__lsn")
+        F.max_by("__p", F.col("__o")).alias("__p"), F.max("__o").alias("__o")
     )
-    final = partial.groupBy(*keys).agg(F.max_by("__p", F.col("__lsn")).alias("__p"))
+    final = partial.groupBy(*keys).agg(F.max_by("__p", F.col("__o")).alias("__p"))
     return final.select(*[F.col(f"__p.{c}").alias(c) for c in payload_cols])
 
 

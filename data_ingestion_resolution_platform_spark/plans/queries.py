@@ -677,7 +677,7 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TUMBLING = """
-SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS w_start,
+SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000) AS w_start,
        event_type, count(*) AS n_events
 FROM events
 GROUP BY 1, 2
@@ -709,7 +709,7 @@ WITH flagged AS (
 )
 SELECT user_id, session_seq,
        min(ts) AS session_start, max(ts) AS session_end,
-       epoch(max(ts)) - epoch(min(ts)) AS duration_secs,
+       CAST(floor(epoch(max(ts)) - epoch(min(ts))) AS BIGINT) AS duration_secs,
        count(*) AS n_events
 FROM sessions
 GROUP BY user_id, session_seq
@@ -733,18 +733,22 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+    # P5 round-trip: encode the range to JSON, decode it back, and emit
+    # plain BIGINT columns — the compared output carries no string-encoded
+    # JSON, so the driver's hash canonicalization sees only numerics.
+    rj = F.to_json(F.struct(F.col("min_k"), F.col("max_k")))
     return agg.select(
         "event_type", "n_events", "sum_k",
-        F.to_json(F.struct(F.col("min_k"), F.col("max_k"))).alias("range_json"),
+        F.get_json_object(rj, "$.min_k").cast("long").alias("min_k"),
+        F.get_json_object(rj, "$.max_k").cast("long").alias("max_k"),
     )
 
 
 SQL_JSON_PROPS = """
 SELECT event_type, count(*) AS n_events,
        sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-       '{"min_k":' || min(CAST(json_extract_string(props, '$.k') AS BIGINT))
-         || ',"max_k":' || max(CAST(json_extract_string(props, '$.k') AS BIGINT)) || '}'
-         AS range_json
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type
 """

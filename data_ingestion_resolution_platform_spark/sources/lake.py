@@ -216,31 +216,35 @@ class LakeTable:
             return {"skipped": True, "epoch": str(epoch_id)}
         key_list = list(keys)
         # batch feeds both the broadcast key side and the upsert union —
-        # persist so the upstream resolve plan executes once
+        # persist so the upstream resolve plan executes once; unpersist
+        # in finally so a failed write/commit (normal under the
+        # streaming retry design) doesn't leak executor storage
         batch = batch.persist()
-        upserts = (
-            batch.filter(~delete_condition) if delete_condition is not None else batch
-        )
-        if self.exists():
-            current = self.read()
-            survivors = current.join(
-                F.broadcast(batch.select(*key_list)), on=key_list, how="left_anti"
+        try:
+            upserts = (
+                batch.filter(~delete_condition) if delete_condition is not None else batch
             )
-            merged = survivors.unionByName(upserts.select(*current.columns))
-        else:
-            merged = upserts
-        v = self.versions.current() + 1
-        merged.write.mode("overwrite").parquet(self.versions.dir_for(v))
-        self.versions.commit(v)
-        stats: dict = {"mode": "merge"}
-        if collect_stats:
-            stats["upserts"] = upserts.count()
-            if delete_condition is not None:
-                stats["deletes"] = batch.filter(delete_condition).count()
-        if epoch_id is not None:
-            self.ledger.record(epoch_id, stats)
-        self.versions.vacuum()
-        batch.unpersist()
+            if self.exists():
+                current = self.read()
+                survivors = current.join(
+                    F.broadcast(batch.select(*key_list)), on=key_list, how="left_anti"
+                )
+                merged = survivors.unionByName(upserts.select(*current.columns))
+            else:
+                merged = upserts
+            v = self.versions.current() + 1
+            merged.write.mode("overwrite").parquet(self.versions.dir_for(v))
+            self.versions.commit(v)
+            stats: dict = {"mode": "merge"}
+            if collect_stats:
+                stats["upserts"] = upserts.count()
+                if delete_condition is not None:
+                    stats["deletes"] = batch.filter(delete_condition).count()
+            if epoch_id is not None:
+                self.ledger.record(epoch_id, stats)
+            self.versions.vacuum()
+        finally:
+            batch.unpersist()
         return stats
 
 
@@ -334,30 +338,33 @@ class PartitionedLakeTable:
         # anti-join build side, staging write) — persist so the upstream
         # resolve plan runs once, not three times
         staged = batch.withColumn(bcol, self._bucket_expr()).persist()
-        touched = [r[0] for r in staged.select(bcol).distinct().collect()]
-        upserts = (
-            staged.filter(~delete_condition) if delete_condition is not None else staged
-        )
-        touched_live = [b for b in touched if self._store(b).current() > 0]
-        if touched_live:
-            current = self.read(touched_live).withColumn(bcol, self._bucket_expr())
-            survivors = current.join(
-                F.broadcast(staged.select(*key_list)), on=key_list, how="left_anti"
+        try:
+            touched = [r[0] for r in staged.select(bcol).distinct().collect()]
+            upserts = (
+                staged.filter(~delete_condition) if delete_condition is not None else staged
             )
-            merged = survivors.unionByName(upserts.select(*current.columns))
-        else:
-            merged = upserts
-        # one staging write partitioned by bucket, then per-bucket
-        # pointer swaps (the "commit" of each touched bucket).
-        # repartition on the bucket column first: every task then owns
-        # whole buckets, so the staging dir holds ~1 file per bucket
-        # instead of (tasks x buckets) fragments — file-count hygiene
-        # that compounds across epochs (survivor scans stay cheap).
-        staging = os.path.join(self.root, f"_staging_{epoch_id if epoch_id is not None else 'adhoc'}")
-        shutil.rmtree(staging, ignore_errors=True)
-        merged.repartition(self.n_buckets, F.col(bcol)).write.mode(
-            "overwrite"
-        ).partitionBy(bcol).parquet(staging)
+            touched_live = [b for b in touched if self._store(b).current() > 0]
+            if touched_live:
+                current = self.read(touched_live).withColumn(bcol, self._bucket_expr())
+                survivors = current.join(
+                    F.broadcast(staged.select(*key_list)), on=key_list, how="left_anti"
+                )
+                merged = survivors.unionByName(upserts.select(*current.columns))
+            else:
+                merged = upserts
+            # one staging write partitioned by bucket, then per-bucket
+            # pointer swaps (the "commit" of each touched bucket).
+            # repartition on the bucket column first: every task then owns
+            # whole buckets, so the staging dir holds ~1 file per bucket
+            # instead of (tasks x buckets) fragments — file-count hygiene
+            # that compounds across epochs (survivor scans stay cheap).
+            staging = os.path.join(self.root, f"_staging_{epoch_id if epoch_id is not None else 'adhoc'}")
+            shutil.rmtree(staging, ignore_errors=True)
+            merged.repartition(self.n_buckets, F.col(bcol)).write.mode(
+                "overwrite"
+            ).partitionBy(bcol).parquet(staging)
+        finally:
+            staged.unpersist()
         n_written = 0
         for b in touched:
             src = os.path.join(staging, f"{bcol}={b}")
@@ -379,7 +386,6 @@ class PartitionedLakeTable:
             store.vacuum()
             n_written += 1
         shutil.rmtree(staging, ignore_errors=True)
-        staged.unpersist()
         stats = {"mode": "merge", "touched_buckets": len(touched), "written_buckets": n_written}
         if epoch_id is not None:
             self.ledger.record(epoch_id, stats)

@@ -41,6 +41,29 @@ def epoch_summary(spark, epoch: int, status: str, n_conflicts: int) -> DataFrame
     )
 
 
+def status_history(lineage: DataFrame) -> DataFrame:
+    """One status row per epoch from the append-only lineage table.
+
+    Summary rows are ``partition_id == -1``; an epoch may carry several
+    under at-least-once redelivery (a FAILED attempt followed by a
+    successful retry's COMPLETED/NEEDS_REVIEW). The state machine (M7,
+    reference `constants.py:3-8`) only ever leaves FAILED — a COMPLETED
+    epoch is ledger-skipped on redelivery and can never regress — so the
+    terminal state per epoch is the max-priority row: any non-FAILED
+    summary wins over FAILED.
+    """
+    s = lineage.filter(F.col("partition_id") == -1)
+    prio = F.when(F.col("status") == "FAILED", F.lit(0)).otherwise(F.lit(1))
+    staged = s.withColumn(
+        "__p", F.struct(F.col("status"), F.col("n_conflicts"))
+    ).withColumn("__prio", prio)
+    return (
+        staged.groupBy("epoch")
+        .agg(F.max_by("__p", F.col("__prio")).alias("__p"))
+        .select("epoch", F.col("__p.status").alias("status"), F.col("__p.n_conflicts").alias("n_conflicts"))
+    )
+
+
 def lineage_rows(batch: DataFrame, epoch: int, lsn_col: str = "lsn", op_col: str = "op") -> DataFrame:
     """One row per input partition: offsets + op counts.
 

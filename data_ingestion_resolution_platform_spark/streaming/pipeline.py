@@ -134,10 +134,15 @@ class CDCPipeline:
         except Exception:
             # poison-pill guard (`worker.py:413-415,445-457`): record a
             # FAILED epoch row best-effort, then surface the error so
-            # the checkpoint does NOT advance (at-least-once redelivery)
+            # the checkpoint does NOT advance (at-least-once redelivery).
+            # Written UNledgered (epoch_id=None → attempt-unique subdir):
+            # a ledgered s{epoch} id here would make the later successful
+            # retry's COMPLETED/NEEDS_REVIEW summary a silent no-op and
+            # freeze the status history at FAILED. Consumers read status
+            # via lineage.status_history (terminal state wins per epoch).
             try:
                 self.lineage.append(
-                    epoch_summary(self.spark, epoch, "FAILED", 0), f"s{epoch}", 1
+                    epoch_summary(self.spark, epoch, "FAILED", 0), None, 1
                 )
             except Exception:
                 pass

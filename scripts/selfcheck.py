@@ -59,6 +59,9 @@ def main():
 
     spark = get_spark("selfcheck", parallelism=8)
     con = duckdb.connect()
+    # Spark session is pinned to UTC (session.py); pin DuckDB the same
+    # way so timestamp-constructing oracles agree on any host timezone.
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"

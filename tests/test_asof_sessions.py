@@ -75,6 +75,26 @@ def test_asof_tolerance(trades_quotes):
     assert got == {1: 101.0, 2: 102.0, 3: None, 4: None}
 
 
+def test_asof_null_timestamps_never_match(spark):
+    """NULL right timestamps must not match (DuckDB ASOF l.ts >= r.ts is
+    NULL-false); NULL-ts left rows pass through unmatched."""
+    trades = spark.createDataFrame(
+        [("A", "2024-01-01 10:00:05", 1), ("A", None, 2)],
+        "sym string, t string, trade_id int",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    quotes = spark.createDataFrame(
+        [("A", None, 99.0), ("A", "2024-01-01 10:00:00", 100.0)],
+        "sym string, qt string, px double",
+    ).withColumn("qt", F.col("qt").cast("timestamp"))
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="qt", right_cols=["px"]
+    )
+    got = {r.trade_id: r.px for r in out.collect()}
+    # trade 1 matches the real quote (never the NULL-ts one); trade 2
+    # (NULL left ts) comes out unmatched rather than dropped
+    assert got == {1: 100.0, 2: None}
+
+
 def test_asof_no_cross_join(trades_quotes, spark):
     trades, quotes = trades_quotes
     plan = asof_join(

@@ -41,10 +41,12 @@ def test_resolve_latest_lww(spark):
     assert state[("r2", "c.rs")] == (6, "c1")
 
 
-def test_resolve_latest_window_variant_matches(spark):
-    a = resolve_latest(feed(spark), ["repo", "path"], "lsn", salted=True)
-    b = resolve_latest(feed(spark), ["repo", "path"], "lsn", salted=False)
+def test_resolve_latest_strategies_match(spark):
+    a = resolve_latest(feed(spark), ["repo", "path"], "lsn", strategy="agg")
+    b = resolve_latest(feed(spark), ["repo", "path"], "lsn", strategy="window")
+    c = resolve_latest(feed(spark), ["repo", "path"], "lsn", strategy="salted")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, c.collect()))
 
 
 def test_resolve_first(spark):

@@ -56,6 +56,33 @@ def test_epoch_failure_writes_failed_row(spark, tmp_path, monkeypatch):
     assert not pipe.target.epoch_committed(0)
 
 
+def test_failed_epoch_recovers_on_retry(spark, tmp_path, monkeypatch):
+    """At-least-once redelivery: a FAILED attempt followed by a
+    successful retry must surface the terminal status, not stay frozen
+    at FAILED (the FAILED row is written unledgered so the retry's
+    summary append is not swallowed by the exactly-once guard)."""
+    from data_ingestion_resolution_platform_spark.streaming.lineage import status_history
+
+    pipe = CDCPipeline(spark, feed_dir="x", warehouse=str(tmp_path / "wh"))
+    real_merge = pipe.target.merge
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient failure")
+        return real_merge(*a, **k)
+
+    monkeypatch.setattr(pipe.target, "merge", flaky)
+    feed = _feed(spark, [(1, "I", None, "r1", "a.py", "c1", "py", "v1")])
+    with pytest.raises(RuntimeError, match="transient"):
+        pipe.process_batch(feed, 0)
+    st = pipe.process_batch(feed, 0)  # redelivery succeeds
+    assert st["status"] == "COMPLETED"
+    hist = {r.epoch: r.status for r in status_history(pipe.lineage.read()).collect()}
+    assert hist == {0: "COMPLETED"}
+
+
 def test_open_conflicts_excludes_resolved_keeps_latest(spark):
     log = spark.createDataFrame(
         [

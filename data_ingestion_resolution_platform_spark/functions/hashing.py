@@ -48,6 +48,33 @@ def shingles(text: Column, k: int = 5) -> Column:
     )
 
 
+def portable_poly_hash(col: Column, base: int = 131, mod: int = _MERSENNE31) -> Column:
+    """Char-level polynomial rolling hash, identical in Spark / DuckDB /
+    Python: ``fold(chars, 0, (acc, c) -> (acc*base + ascii(c)) % mod)``.
+
+    Weaker mixing than xxhash64 but engine-portable — the property the
+    DuckDB oracle gate needs. acc < 2^31 and base ≤ 2^31 keep every
+    intermediate < 2^62 (no int64 overflow in either engine). The empty
+    string hashes to 0 in both engines (Spark split('','') yields ['']
+    with ascii('') = 0; DuckDB folds an empty char list).
+    """
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )
+
+
+def portable_hash62(col: Column) -> Column:
+    """62-bit portable hash: two independent polynomial hashes packed
+    as ``h1 | (h2 << 31)`` (bits 0-30 and 31-61; top 2 bits always 0 —
+    constant across rows, so SimHash majorities/hammings are unaffected).
+    """
+    h1 = portable_poly_hash(col, 131)
+    h2 = portable_poly_hash(col, 137)
+    return h1.bitwiseOR(F.shiftleft(h2, 31))
+
+
 def _hash_with_seed(s: Column, seed_a: int, seed_b: int) -> Column:
     """Universal-hash family member: (a*x + b) mod p over xxhash64."""
     x = F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))

@@ -25,8 +25,14 @@ from data_ingestion_resolution_platform_spark.functions.hashing import (
     _MERSENNE31 as _M31,
     content_sha256,
     hamming64,
+    portable_hash62,
+    portable_poly_hash,
     shingles,
 )
+
+# LCG multiplier reused as the band-bucket / seed-walk mixer (portable
+# mode): acc*MUL stays < 2^62 for acc < 2^31.
+_MIX = 1_103_515_245
 from data_ingestion_resolution_platform_spark.functions.vectors import quantized_cosine, quantize_vector
 from data_ingestion_resolution_platform_spark.util import ensure_parallelism, reuse_for_self_join
 
@@ -60,6 +66,7 @@ def minhash_candidates(
     k_shingle: int = 5,
     num_hashes: int = 32,
     num_bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b, n_shared_bands).
 
@@ -68,6 +75,11 @@ def minhash_candidates(
     compact long key. Buckets with huge membership (boilerplate) are
     the skew risk: cap via ``spark.sql.adaptive.skewJoin`` + an
     optional bucket-size guard upstream.
+
+    ``portable=True`` swaps the per-shingle xxhash64 and the band-bucket
+    hash for engine-portable polynomial arithmetic so a DuckDB oracle
+    can reproduce the exact output (the driver correctness gate).
+    Slightly weaker hash mixing — prefer the default for production.
     """
     rows_per_band = num_hashes // num_bands
     df = ensure_parallelism(df)
@@ -77,11 +89,16 @@ def minhash_candidates(
     # re-inlines the whole shingle pipeline once per hash function —
     # 32x duplicated codegen; this shape computes shingles exactly once
     # and is also the 100 TB plan (no giant arrays in memory).
+    sh_hash = (
+        portable_poly_hash(F.col("sh"))
+        if portable
+        else F.pmod(F.xxhash64("sh"), F.lit(_M31))
+    )
     base = df.select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), k_shingle)).alias("sh"),
-    ).select("doc", F.pmod(F.xxhash64("sh"), F.lit(_M31)).alias("h"))
-    a, b = 1_103_515_245, 12_345
+    ).select("doc", sh_hash.alias("h"))
+    a, b = _MIX, 12_345
     aggs = []
     for i in range(num_hashes):
         ai = (a * (2 * i + 1)) % _M31
@@ -90,15 +107,18 @@ def minhash_candidates(
     sigs = base.groupBy("doc").agg(*aggs)
     band_structs = []
     for band in range(num_bands):
-        members = [
-            F.col(f"mh{band * rows_per_band + j}").cast("string")
-            for j in range(rows_per_band)
-        ]
+        if portable:
+            bucket = F.lit(0).cast("long")
+            for j in range(rows_per_band):
+                bucket = (bucket * _MIX + F.col(f"mh{band * rows_per_band + j}")) % _M31
+        else:
+            members = [
+                F.col(f"mh{band * rows_per_band + j}").cast("string")
+                for j in range(rows_per_band)
+            ]
+            bucket = F.xxhash64(F.concat_ws(",", *members))
         band_structs.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                F.xxhash64(F.concat_ws(",", *members)).alias("bucket"),
-            )
+            F.struct(F.lit(band).alias("band"), bucket.alias("bucket"))
         )
     banded = sigs.select("doc", F.explode(F.array(*band_structs)).alias("b")).select(
         "doc", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
@@ -158,19 +178,30 @@ def ngram_jaccard(
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
-    """SimHash near-dups: block on 16-bit chunks (pigeonhole: hamming ≤ 3
-    ⇒ at least one of 4 chunks identical), verify with bit_count.
+    """SimHash near-dups: block on 16-bit chunks, verify with bit_count.
+
+    Recall bound (pigeonhole over 4 chunks of the 64-bit signature): any
+    pair within hamming ≤ 3 is GUARANTEED to share a chunk; pairs at
+    hamming 4..max_hamming are reported only when their differing bits
+    happen to cluster outside one chunk — so calls with
+    ``max_hamming > 3`` are approximate by design (full recall would
+    need 8-bit chunks / multi-probe). State the bound at the call site.
 
     Signature computed explode-style (like MinHash above): one groupBy
-    with 64 bit-majority aggregates over per-shingle xxhash64 rows —
+    with 64 bit-majority aggregates over per-shingle hash rows —
     single codegen'd aggregation, scales to any corpus size.
+    ``portable=True`` uses the 62-bit polynomial hash (top 2 bits
+    constant — they never affect majorities or hamming) so a DuckDB
+    oracle can replicate the output exactly.
     """
+    sh_hash = portable_hash62(F.col("s")) if portable else F.xxhash64("s")
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), 3)).alias("s"),
-    ).select("doc", F.xxhash64("s").alias("h"))
+    ).select("doc", sh_hash.alias("h"))
     bit_aggs = [
         F.sum(F.shiftright("h", bit).bitwiseAND(F.lit(1)).cast("long")).alias(f"b{bit}")
         for bit in range(64)
@@ -209,7 +240,7 @@ def simhash_near_dups(
         .select(
             F.col("l.doc").alias("id_a"),
             F.col("r.doc").alias("id_b"),
-            hamming64(F.col("l.sh"), F.col("r.sh")).alias("hamming"),
+            hamming64(F.col("l.sh"), F.col("r.sh")).cast("long").alias("hamming"),
         )
         .distinct()
     )

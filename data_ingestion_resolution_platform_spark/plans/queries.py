@@ -17,6 +17,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -564,19 +565,119 @@ SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM w WHERE rank <
 """
 
 
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs in the engine-portable configuration
+    (polynomial shingle/band hashes) so DuckDB can replicate the exact
+    banding — the production default keeps xxhash64 mixing."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_candidates(docs, "text", "doc_id", portable=True)
+
+
+_M31_SQL = (1 << 31) - 1
+_MIX_SQL = 1_103_515_245
+
+# Shared SQL fragments: tokenization + k-gram shingles + per-shingle
+# char-polynomial hash — the DuckDB twin of functions/hashing.shingles
+# and portable_poly_hash.
+def _shingle_cte(k: int) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id AS doc,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc,
+         CASE WHEN len(toks) >= {k}
+              THEN list_distinct(list_transform(range(1, len(toks) - {k} + 2),
+                     i -> array_to_string(toks[CAST(i AS INT):CAST(i + {k} - 1 AS INT)], ' ')))
+              ELSE [array_to_string(toks, ' ')] END AS shs
+  FROM d
+)"""
+
+
+def _poly_list(base: int) -> str:
+    return (
+        "list_transform(shs, sh -> list_reduce("
+        "list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), "
+        "i -> CAST(ascii(substring(sh, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(acc, x) -> (acc * {base} + x) % {_M31_SQL}))"
+    )
+
+
+def _minhash_sql(k: int = 5, num_hashes: int = 32, num_bands: int = 8) -> str:
+    rpb = num_hashes // num_bands
+    a, b = _MIX_SQL, 12_345
+    mins = []
+    for i in range(num_hashes):
+        ai = (a * (2 * i + 1)) % _M31_SQL
+        bi = (b * (i + 7)) % _M31_SQL
+        mins.append(
+            f"list_min(list_transform(hs, h -> (h * {ai} + {bi}) % {_M31_SQL})) AS mh{i}"
+        )
+    bands = []
+    for band in range(num_bands):
+        expr = "CAST(0 AS BIGINT)"
+        for j in range(rpb):
+            expr = f"(({expr}) * {_MIX_SQL} + mh{band * rpb + j}) % {_M31_SQL}"
+        bands.append(f"SELECT doc, {band} AS band, {expr} AS bucket FROM sig")
+    union = "\n  UNION ALL ".join(bands)
+    return f"""{_shingle_cte(k)}, h AS (
+  SELECT doc, {_poly_list(131)} AS hs FROM s
+), sig AS (
+  SELECT doc, {', '.join(mins)} FROM h
+), b AS (
+  {union}
+)
+SELECT l.doc AS id_a, r.doc AS id_b, count(*) AS n_shared_bands
+FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc
+GROUP BY 1, 2
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups, portable-hash configuration. NOTE the recall
+    bound: 16-bit chunk blocking guarantees recall only for hamming ≤ 3;
+    the ≤ 8 filter reports farther pairs best-effort (see
+    operators/dedup.simhash_near_dups docstring)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, "text", "doc_id", max_hamming=8, portable=True)
+
+
+def _simhash_sql(max_hamming: int = 8) -> str:
+    # 62-bit portable signature: h1 | (h2 << 31); bits 62-63 constant 0
+    bit_terms = [
+        f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> {bit}) & 1)) > len(hs)"
+        f" THEN (CAST(1 AS BIGINT) << {bit}) ELSE CAST(0 AS BIGINT) END)"
+        for bit in range(62)
+    ]
+    sim = " + ".join(bit_terms)
+    chunks = "\n  UNION ALL ".join(
+        f"SELECT doc, sim, {i} AS chunk_id, (sim >> {16 * i}) & 65535 AS chunk FROM sh"
+        for i in range(4)
+    )
+    return f"""{_shingle_cte(3)}, h AS (
+  SELECT doc, {_poly_list(131)} AS h1s, {_poly_list(137)} AS h2s FROM s
+), hh AS (
+  SELECT doc, list_transform(range(1, len(h1s) + 1),
+           i -> h1s[CAST(i AS INT)] | (h2s[CAST(i AS INT)] << 31)) AS hs
+  FROM h
+), sh AS (
+  SELECT doc, {sim} AS sim FROM hh
+), c AS (
+  {chunks}
+)
+SELECT DISTINCT l.doc AS id_a, r.doc AS id_b,
+       CAST(bit_count(xor(l.sim, r.sim)) AS BIGINT) AS hamming
+FROM c l JOIN c r
+  ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk AND l.doc < r.doc
+WHERE bit_count(xor(l.sim, r.sim)) <= {max_hamming}
+"""
+
+
 # --------------------------------------------------------------------------
 # Rows-only queries (no SQL-expressible oracle: xxhash64 sketches,
 # pandas-UDF plumbing, full-engine replay)
 # --------------------------------------------------------------------------
-
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_candidates(docs, "text", "doc_id")
-
-
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, "text", "doc_id", max_hamming=8)
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -754,6 +855,184 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Full-engine e2e under the driver gate: CDC pipeline epoch replay and
+# the CSV ingestion family (S1/S2/P7/P8 + S5/S7/M1-M7), each with a pure
+# ANSI-SQL oracle over the same driver-provided tables.
+# --------------------------------------------------------------------------
+
+def _derived_code_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map events → the BASELINE input_hint shape (repo, path, commit,
+    lang, content) + CDC envelope, with pure SQL-expressible transforms
+    so the oracle can rebuild the identical feed."""
+    ev = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        op.alias("op"),
+        F.col("ts"),
+        F.concat(F.lit("repo_"), F.pmod(F.col("user_id"), F.lit(40)).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("src/f"), F.pmod(F.col("event_id"), F.lit(25)).cast("string"), F.lit(".py")
+        ).alias("path"),
+        F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 12).alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.coalesce(F.col("props"), F.lit("")).alias("content"),
+    )
+
+
+_DERIVED_FEED_SQL = """
+    SELECT event_id AS lsn,
+           CASE WHEN event_type = 'signup' THEN 'I'
+                WHEN event_type = 'error' THEN 'D'
+                ELSE 'U' END AS op,
+           ts,
+           'repo_' || CAST(user_id % 40 AS VARCHAR) AS repo,
+           'src/f' || CAST(event_id % 25 AS VARCHAR) || '.py' AS path,
+           substring(sha256(CAST(event_id AS VARCHAR)), 1, 12) AS "commit",
+           event_type AS lang,
+           coalesce(props, '') AS content
+    FROM events
+"""
+
+
+def q_pipeline_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL engine under the driver's hard gate: derived change feed
+    → LSN-ranged epoch replay (fused resolve+conflict detection, lineage
+    + status rows, exactly-once ledger, bucket-pruned COW MERGE —
+    reference `worker.py:231-415` process_job end to end) → final target
+    table. The oracle is the pure-SQL LWW collapse of the same feed; the
+    equality IS the north rule's "matches the reference's final table
+    state after replay" check at driver scale."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.streaming.pipeline import CDCPipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wh = f"/tmp/dirp_pipeline_e2e_{tag}"
+    shutil.rmtree(wh, ignore_errors=True)
+    feed = _derived_code_feed(spark, sf_dir)
+    pipe = CDCPipeline(spark, feed_dir="unused", warehouse=wh)
+    pipe.replay_bounded(feed, epochs=3)
+    return pipe.target.read().select(
+        "repo", "path", "lsn", "op", "ts", "commit", "lang", "content"
+    )
+
+
+SQL_PIPELINE_E2E = f"""
+WITH feed AS ({_DERIVED_FEED_SQL}),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM feed
+)
+SELECT repo, path, lsn, op, ts, "commit", lang, content
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
+_FIRST_EXPR = (
+    "CASE WHEN c_custkey % 4 = 0 THEN '  ann   marie ' "
+    "WHEN c_custkey % 9 = 0 THEN '   ' ELSE 'ann' END"
+)
+_COMPANY_EXPR = "CASE WHEN c_custkey % 6 = 0 THEN NULL ELSE 'Acme  Corp' END"
+
+
+def q_contacts_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/P7/P8 through the real CSV reader: synthesize a contacts
+    CSV from customer (deterministic single sorted file; mixed-case
+    ``Email`` header, an extra column to drop, no ``last_name`` column),
+    read it back via ``read_contacts_csv`` (name-based projection,
+    missing ⇒ NULL, 1-based line numbers), run the full P1-P6 pipeline.
+    The oracle recomputes the same rows straight from ``customer``."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.cdc import normalize_contacts
+    from data_ingestion_resolution_platform_spark.sources.feed import read_contacts_csv
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = f"/tmp/dirp_contacts_csv_{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer")
+    src = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.expr(_EMAIL_EXPR).alias("Email"),
+        F.expr(_FIRST_EXPR).alias("first_name"),
+        F.expr(_COMPANY_EXPR).alias("company"),
+        F.lit("drop-me").alias("extra_col"),
+    )
+    (
+        src.coalesce(1)
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(d)
+    )
+    out = normalize_contacts(read_contacts_csv(spark, d))
+    return out.select(
+        F.col("_row_number").alias("row_num"),
+        "email",
+        "normalized_email",
+        "first_name_clean",
+        "company_clean",
+        "issues",
+        "is_valid",
+    )
+
+
+# clean_field twin: strip (all-whitespace edges) then collapse runs,
+# empty ⇒ NULL — mirrors functions/normalize.clean_field.
+def _clean_sql(v: str) -> str:
+    return (
+        "nullif(regexp_replace(regexp_replace("
+        + v
+        + r", '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'), '')"
+    )
+
+
+_NORM_EMAIL_SQL = (
+    r"nullif(regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(email,"
+    r" '^\s+|\s+$', '', 'g')), '\s*\(.*?\)\s*$', '', 'g'), '^\s+|\s+$', '', 'g'),"
+    r" '\s+', ' ', 'g'), '')"
+)
+
+_VALID_SQL = (
+    "(norm_email IS NOT NULL AND length(norm_email) <= 254"
+    " AND NOT regexp_matches(norm_email, '[;,]')"
+    r" AND regexp_matches(norm_email, '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}$'))"
+)
+
+SQL_CONTACTS_CSV = f"""
+WITH c AS (
+  SELECT c_custkey AS id, {_EMAIL_EXPR} AS email,
+         {_FIRST_EXPR} AS first_name, {_COMPANY_EXPR} AS company
+  FROM customer
+), n AS (
+  SELECT row_number() OVER (ORDER BY id) + 1 AS row_num, email,
+         {_NORM_EMAIL_SQL} AS norm_email,
+         {_clean_sql('first_name')} AS fn_clean,
+         {_clean_sql('company')} AS co_clean
+  FROM c
+)
+SELECT row_num, email, norm_email AS normalized_email,
+       fn_clean AS first_name_clean, co_clean AS company_clean,
+       list_filter([
+         CASE WHEN norm_email IS NULL THEN 'MISSING_EMAIL' END,
+         CASE WHEN norm_email IS NOT NULL AND NOT {_VALID_SQL} THEN 'INVALID_EMAIL_FORMAT' END,
+         CASE WHEN fn_clean IS NULL THEN 'MISSING_FIRST_NAME' END,
+         'MISSING_LAST_NAME',
+         CASE WHEN co_clean IS NULL THEN 'MISSING_COMPANY' END
+       ], x -> x IS NOT NULL) AS issues,
+       FALSE AS is_valid  -- last_name column is absent, so every row has >=1 issue
+FROM n
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -799,9 +1078,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "events_json_props": q_events_json_props,
-    # rows-only (non-SQL-expressible)
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "pipeline_cdc_e2e": q_pipeline_cdc_e2e,
+    "contacts_csv_ingest": q_contacts_csv_ingest,
+    # rows-only (non-SQL-expressible)
     "dedup_embedding": q_dedup_embedding,
     "ann_ivf": q_ann_ivf,
     "multimodal_features": q_multimodal_features,
@@ -834,4 +1115,8 @@ ORACLES: dict[str, str] = {
     "events_tumbling": SQL_TUMBLING,
     "events_sessionize": SQL_SESSIONIZE,
     "events_json_props": SQL_JSON_PROPS,
+    "dedup_minhash": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "pipeline_cdc_e2e": SQL_PIPELINE_E2E,
+    "contacts_csv_ingest": SQL_CONTACTS_CSV,
 }

@@ -146,6 +146,85 @@ def run_resolve_core(parallelism: int, n_events: int) -> dict:
     }
 
 
+def run_growth_sweep(parallelism: int, adaptive: bool) -> dict:
+    """Target-growth sweep: does per-epoch MERGE cost track the TOUCHED
+    set or the TOTAL target size?
+
+    Phase 1 grows the target with insert epochs (fresh repos each).
+    Phase 2 times single-repo update epochs against the grown target —
+    the canonical CDC shape (a micro-batch touches few repos out of
+    many). ``adaptive=True`` = linear-hashing splits at a small
+    max_bucket_bytes; ``adaptive=False`` = fixed initial bucket count
+    (the round-1 design). At 100 TB the fixed layout rewrites
+    O(target/n_buckets) per touched bucket; adaptive keeps bucket size
+    ~constant so updates rewrite O(batch + a few bucket-sized files).
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_resolution_platform_spark.session import get_spark
+    from data_ingestion_resolution_platform_spark.sources.lake import PartitionedLakeTable
+
+    spark = get_spark("bench_growth", parallelism=parallelism)
+    wh = tempfile.mkdtemp(
+        prefix="bench_growth_", dir=os.environ.get("SPARK_GRAFT_BENCH_DIR") or None
+    )
+    rows_per_epoch = int(os.environ.get("SPARK_GRAFT_GROWTH_ROWS", "400000"))
+    repos_per_epoch = 16
+    grow_epochs = int(os.environ.get("SPARK_GRAFT_GROWTH_EPOCHS", "14"))
+    update_epochs = 4
+
+    # incompressible ~192 B contents (sha256 hex x3): parquet/snappy
+    # cannot shrink them, so staged-byte measurements track real data
+    def batch(epoch: int, repo_lo: int, n_repos: int, n_rows: int, update: bool):
+        sha = F.sha2((F.col("id") + epoch * 10_000_000).cast("string"), 256)
+        return spark.range(n_rows).select(
+            (F.col("id") + epoch * 10_000_000).alias("lsn"),
+            F.lit("U" if update else "I").alias("op"),
+            F.concat(
+                F.lit("repo_"), (repo_lo + F.pmod(F.col("id"), F.lit(n_repos))).cast("string")
+            ).alias("repo"),
+            F.concat(F.lit("src/f"), F.pmod(F.col("id"), F.lit(n_rows)).cast("string"), F.lit(".py")).alias("path"),
+            F.concat(sha, sha, sha).alias("content"),
+        )
+
+    tbl = PartitionedLakeTable(
+        spark, os.path.join(wh, "t"), bucket_keys=["repo"], n_buckets=32,
+        max_bucket_bytes=(4 << 20) if adaptive else (1 << 60),
+    )
+    grow_secs, upd_secs, buckets = [], [], []
+    try:
+        for e in range(grow_epochs):
+            t0 = time.time()
+            tbl.merge(batch(e, repo_lo=e * repos_per_epoch, n_repos=repos_per_epoch,
+                            n_rows=rows_per_epoch, update=False),
+                      ["repo", "path"], epoch_id=e)
+            grow_secs.append(round(time.time() - t0, 3))
+            buckets.append(tbl.n_live_buckets())
+        total_rows = tbl.read().count()
+        # single-repo micro-batches against the grown target: the
+        # canonical CDC update shape. Cost should track ONE bucket's
+        # bytes, not the target's.
+        for e in range(update_epochs):
+            t0 = time.time()
+            tbl.merge(batch(100 + e, repo_lo=e * repos_per_epoch, n_repos=1,
+                            n_rows=5000, update=True),
+                      ["repo", "path"], epoch_id=100 + e)
+            upd_secs.append(round(time.time() - t0, 3))
+        return {
+            "adaptive": adaptive,
+            "rows_per_epoch": rows_per_epoch,
+            "final_rows": total_rows,
+            "final_buckets": tbl.n_live_buckets(),
+            "grow_epoch_secs": grow_secs,
+            "single_repo_update_secs": upd_secs,
+            "buckets_per_epoch": buckets,
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def hw_scaling_probe(n: int, n4: int, seconds: float = 10.0) -> dict:
     """Framework-free CPU-scaling ceiling of THIS host: parallel sha256
     loops via multiprocessing (no JVM, no shuffle, no allocation churn).
@@ -239,6 +318,15 @@ def main() -> None:
         par = int(sys.argv[sys.argv.index("--core-only") + 1])
         n_events = int(os.environ.get("SPARK_GRAFT_CORE_EVENTS", "10000000"))
         print(json.dumps(run_resolve_core(par, n_events)))
+        return
+
+    if "--growth" in sys.argv:
+        out = {
+            "metric": "merge_cost_vs_target_growth",
+            "adaptive": run_growth_sweep(cpus, adaptive=True),
+            "fixed": run_growth_sweep(cpus, adaptive=False),
+        }
+        print(json.dumps(out))
         return
 
     if "--scaling" in sys.argv:

@@ -249,24 +249,39 @@ class LakeTable:
 
 
 class PartitionedLakeTable:
-    """Hash-bucketed target table: MERGE touches only dirty buckets.
+    """Hash-bucketed target table with LINEAR-HASHING growth: MERGE
+    touches only dirty buckets, and buckets that outgrow
+    ``max_bucket_bytes`` split in two *during the rewrite they were
+    already paying for* — so per-epoch MERGE cost stays O(batch +
+    touched bytes) no matter how much the target grows. The parquet twin
+    of Iceberg ``PARTITIONED BY (bucket(N, key))`` where N is
+    size-derived instead of fixed (VERDICT round-1 scale hazard #2).
 
     Layout::
 
         root/
-          _epochs/...
-          b=7/ _LATEST, v=1/, v=2/ ...   # one versioned store per bucket
+          _epochs/...                      # exactly-once epoch ledger
+          _DIR                             # atomic directory JSON
+          b=<id>.<level>/v=<n>/*.parquet   # one store per live bucket
 
-    The bucket column is ``pmod(xxhash64(*bucket_keys), n_buckets)`` —
-    the parquet twin of Iceberg ``PARTITIONED BY (bucket(N, repo))``.
-    A merge reads only touched buckets (partition pruning by
-    construction), rewrites them, and advances per-bucket pointers;
-    untouched buckets cost nothing. This is what keeps per-epoch MERGE
-    cost O(batch + touched fraction of target) instead of O(target) —
-    the property that matters at 10^10 events.
+    A bucket ``(b, L)`` owns every row whose
+    ``pmod(xxhash64(*bucket_keys), 2^L) == b``; the directory always
+    holds a prefix-free covering of the hash space (classic linear
+    hashing), so buckets may sit at different levels — hot buckets
+    split deeper, cold ones stay coarse. When a touched bucket's
+    post-merge bytes exceed the threshold, its staged files (written at
+    ``max_level + 1`` granularity) are committed as the two child
+    buckets instead of one — a split costs zero extra data movement.
+
+    Commit protocol: stage → move files into per-bucket version dirs →
+    ONE atomic ``_DIR`` replace (all touched buckets flip together) →
+    ledger record. A crash anywhere before the ledger record leaves the
+    previous directory visible and the epoch uncommitted; replay
+    recomputes the same deterministic versions and converges
+    (SURVEY.md §7.4).
     """
 
-    BUCKET_COL = "__bucket"
+    BUCKET_COL = "__rb"  # staging residue column (max_level+1 granularity)
 
     def __init__(
         self,
@@ -274,33 +289,58 @@ class PartitionedLakeTable:
         root: str,
         bucket_keys: Sequence[str],
         n_buckets: int = 32,
+        max_bucket_bytes: int = 256 << 20,
     ):
         self.spark = spark
         self.root = root
         self.bucket_keys = list(bucket_keys)
-        self.n_buckets = n_buckets
+        # initial level: smallest power of two covering n_buckets
+        self.initial_level = max(0, (int(n_buckets) - 1).bit_length())
+        self.n_buckets = 1 << self.initial_level
+        self.max_bucket_bytes = max_bucket_bytes
         os.makedirs(root, exist_ok=True)
         self.ledger = _EpochLedger(root)
 
-    def _bucket_expr(self) -> F.Column:
+    # -- directory -------------------------------------------------------
+    @property
+    def _dir_path(self) -> str:
+        return os.path.join(self.root, "_DIR")
+
+    def _read_dir(self) -> dict[tuple[int, int], int]:
+        """{(bucket, level): version}; version 0 = live but empty."""
+        try:
+            with open(self._dir_path) as f:
+                raw = json.load(f)
+            return {(b, lv): v for b, lv, v in raw["buckets"]}
+        except FileNotFoundError:
+            lv = self.initial_level
+            return {(b, lv): 0 for b in range(1 << lv)}
+
+    def _write_dir(self, d: dict[tuple[int, int], int]) -> None:
+        tmp = self._dir_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"buckets": sorted([b, lv, v] for (b, lv), v in d.items())}, f)
+        os.replace(tmp, self._dir_path)
+
+    def _bucket_dir(self, b: int, level: int, v: int) -> str:
+        return os.path.join(self.root, f"b={b}.{level}", f"v={v}")
+
+    def _residue_expr(self, level: int) -> F.Column:
         return F.pmod(
-            F.xxhash64(*[F.col(c) for c in self.bucket_keys]), F.lit(self.n_buckets)
+            F.xxhash64(*[F.col(c) for c in self.bucket_keys]), F.lit(1 << level)
         ).cast("int")
 
-    def _store(self, b: int) -> _Versioned:
-        return _Versioned(os.path.join(self.root, f"b={b}"))
-
-    def _live_buckets(self) -> list[int]:
-        out = []
-        for name in os.listdir(self.root):
-            if name.startswith("b="):
-                b = int(name.split("=", 1)[1])
-                if self._store(b).current() > 0:
-                    out.append(b)
-        return sorted(out)
+    @staticmethod
+    def _owner(residue: int, d: dict[tuple[int, int], int], lstage: int) -> tuple[int, int]:
+        """The unique live bucket owning a stage-level residue."""
+        for lv in range(lstage, -1, -1):
+            cand = (residue % (1 << lv), lv)
+            if cand in d:
+                return cand
+        raise KeyError(f"directory does not cover residue {residue}")
 
     def exists(self) -> bool:
-        return bool(self._live_buckets())
+        return any(v > 0 for v in self._read_dir().values())
 
     def epoch_committed(self, epoch_id: str | int) -> bool:
         return self.ledger.committed(epoch_id)
@@ -308,15 +348,13 @@ class PartitionedLakeTable:
     def committed_epochs(self) -> list[str]:
         return self.ledger.all()
 
-    def read(self, buckets: Sequence[int] | None = None) -> DataFrame:
-        live = self._live_buckets() if buckets is None else [
-            b for b in buckets if self._store(b).current() > 0
-        ]
-        paths = []
-        for b in live:
-            d = self._store(b).dir_for(self._store(b).current())
-            if not os.path.exists(os.path.join(d, "_EMPTY")):
-                paths.append(d)
+    def n_live_buckets(self) -> int:
+        return len(self._read_dir())
+
+    def read(self, buckets: Sequence[tuple[int, int]] | None = None) -> DataFrame:
+        d = self._read_dir()
+        live = [bk for bk in (buckets if buckets is not None else d) if d.get(bk, 0) > 0]
+        paths = [self._bucket_dir(b, lv, d[(b, lv)]) for b, lv in live]
         if not paths:
             raise FileNotFoundError(f"partitioned lake table {self.root} has no data")
         return self.spark.read.parquet(*paths)
@@ -328,65 +366,133 @@ class PartitionedLakeTable:
         epoch_id: str | int | None = None,
         delete_condition: F.Column | None = None,
     ) -> dict:
-        """Bucket-pruned COW MERGE; same WHEN-clause semantics as
-        ``LakeTable.merge``. ``batch`` must be key-unique."""
+        """Bucket-pruned COW MERGE with size-triggered bucket splits;
+        same WHEN-clause semantics as ``LakeTable.merge``. ``batch``
+        must be key-unique."""
         if epoch_id is not None and self.ledger.committed(epoch_id):
             return {"skipped": True, "epoch": str(epoch_id)}
         key_list = list(keys)
-        bcol = self.BUCKET_COL
-        # staged is consumed three times (touched-bucket probe, survivor
-        # anti-join build side, staging write) — persist so the upstream
-        # resolve plan runs once, not three times
-        staged = batch.withColumn(bcol, self._bucket_expr()).persist()
+        d = self._read_dir()
+        lmax = max(lv for _, lv in d)
+        # stage one level finer than the deepest bucket: every touched
+        # bucket can split once per epoch with zero re-reads
+        lstage = lmax + 1
+        rcol = self.BUCKET_COL
+        # staged is consumed three times (touched probe, anti-join build
+        # side, staging write) — persist so the upstream plan runs once
+        staged = batch.withColumn(rcol, self._residue_expr(lstage)).persist()
         try:
-            touched = [r[0] for r in staged.select(bcol).distinct().collect()]
+            # driver-side planning on residues: ≤ min(2^lstage, distinct
+            # batch keys) small ints — the Iceberg-manifest-sized
+            # metadata op, never data
+            touched_res = sorted(r[0] for r in staged.select(rcol).distinct().collect())
+            touched = sorted({self._owner(r, d, lstage) for r in touched_res})
             upserts = (
                 staged.filter(~delete_condition) if delete_condition is not None else staged
             )
-            touched_live = [b for b in touched if self._store(b).current() > 0]
+            touched_live = [bk for bk in touched if d[bk] > 0]
             if touched_live:
-                current = self.read(touched_live).withColumn(bcol, self._bucket_expr())
+                current = self.read(touched_live).withColumn(
+                    rcol, self._residue_expr(lstage)
+                )
                 survivors = current.join(
                     F.broadcast(staged.select(*key_list)), on=key_list, how="left_anti"
                 )
                 merged = survivors.unionByName(upserts.select(*current.columns))
             else:
                 merged = upserts
-            # one staging write partitioned by bucket, then per-bucket
-            # pointer swaps (the "commit" of each touched bucket).
-            # repartition on the bucket column first: every task then owns
-            # whole buckets, so the staging dir holds ~1 file per bucket
-            # instead of (tasks x buckets) fragments — file-count hygiene
-            # that compounds across epochs (survivor scans stay cheap).
-            staging = os.path.join(self.root, f"_staging_{epoch_id if epoch_id is not None else 'adhoc'}")
+            # join(on=keys) reorders columns key-first; pin the batch's
+            # column order so every bucket file shares one schema layout
+            merged = merged.select(*batch.columns, rcol)
+            # one staging write partitioned by residue; repartition on
+            # the residue first so each residue is written by exactly one
+            # task (~1 file per residue — file-count hygiene that keeps
+            # survivor scans cheap across epochs)
+            staging = os.path.join(
+                self.root, f"_staging_{epoch_id if epoch_id is not None else 'adhoc'}"
+            )
             shutil.rmtree(staging, ignore_errors=True)
-            merged.repartition(self.n_buckets, F.col(bcol)).write.mode(
-                "overwrite"
-            ).partitionBy(bcol).parquet(staging)
+            n_tasks = max(1, min(len(touched_res), self.spark.sparkContext.defaultParallelism))
+            merged.repartition(n_tasks, F.col(rcol)).write.mode("overwrite").partitionBy(
+                rcol
+            ).parquet(staging)
         finally:
             staged.unpersist()
-        n_written = 0
-        for b in touched:
-            src = os.path.join(staging, f"{bcol}={b}")
-            store = self._store(b)
-            had_data = store.current() > 0
-            if not os.path.isdir(src) and not had_data:
-                continue  # delete-only batch for a bucket that never existed
-            v = store.current() + 1
-            dst = store.dir_for(v)
+
+        def res_dir(r: int) -> str:
+            return os.path.join(staging, f"{rcol}={r}")
+
+        def res_bytes(r: int) -> int:
+            p = res_dir(r)
+            if not os.path.isdir(p):
+                return 0
+            return sum(
+                e.stat().st_size for e in os.scandir(p) if e.name.endswith(".parquet")
+            )
+
+        def commit_version(b: int, lv: int, residues: list[int], dirmap) -> int:
+            """Move staged residue files into a fresh version dir for
+            (b, lv); returns the new version (0 if the bucket is empty)."""
+            present = [r for r in residues if os.path.isdir(res_dir(r))]
+            prev = dirmap.get((b, lv), 0)
+            if not present:
+                dirmap[(b, lv)] = 0
+                return 0
+            v = prev + 1
+            dst = self._bucket_dir(b, lv, v)
             shutil.rmtree(dst, ignore_errors=True)
-            if os.path.isdir(src):
-                shutil.move(src, dst)
+            os.makedirs(dst)
+            for r in present:
+                for name in os.listdir(res_dir(r)):
+                    if name.endswith(".parquet"):
+                        shutil.move(
+                            os.path.join(res_dir(r), name),
+                            os.path.join(dst, f"r{r}_{name}"),
+                        )
+            dirmap[(b, lv)] = v
+            return v
+
+        new_dir = dict(d)
+        n_written = n_splits = 0
+        for b, lv in touched:
+            # all stage-level residues owned by this bucket
+            residues = list(range(b, 1 << lstage, 1 << lv))
+            size = sum(res_bytes(r) for r in residues)
+            if size == 0 and d[(b, lv)] == 0:
+                continue  # delete-only batch for a bucket that never had data
+            if size > self.max_bucket_bytes and lv < lstage:
+                # split during the rewrite we already paid for: commit
+                # the staged files as the two children
+                del new_dir[(b, lv)]
+                for child in (b, b + (1 << lv)):
+                    child_res = [r for r in residues if r % (1 << (lv + 1)) == child]
+                    if commit_version(child, lv + 1, child_res, new_dir):
+                        n_written += 1
+                n_splits += 1
             else:
-                # every row of this live bucket was deleted: commit an
-                # explicit empty version so old rows don't resurrect
-                os.makedirs(dst, exist_ok=True)
-                open(os.path.join(dst, "_EMPTY"), "w").close()
-            store.commit(v)
-            store.vacuum()
-            n_written += 1
+                if commit_version(b, lv, residues, new_dir):
+                    n_written += 1
+        # single atomic flip of every touched bucket
+        self._write_dir(new_dir)
+        # vacuum: drop superseded version dirs and retired parents
+        for (b, lv), v in list(d.items()):
+            if (b, lv) not in new_dir and v > 0:
+                shutil.rmtree(os.path.join(self.root, f"b={b}.{lv}"), ignore_errors=True)
+        for (b, lv), v in new_dir.items():
+            base = os.path.join(self.root, f"b={b}.{lv}")
+            if not os.path.isdir(base):
+                continue
+            for name in os.listdir(base):
+                if name.startswith("v=") and int(name.split("=", 1)[1]) != v:
+                    shutil.rmtree(os.path.join(base, name), ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
-        stats = {"mode": "merge", "touched_buckets": len(touched), "written_buckets": n_written}
+        stats = {
+            "mode": "merge",
+            "touched_buckets": len(touched),
+            "written_buckets": n_written,
+            "splits": n_splits,
+            "n_buckets": len(new_dir),
+        }
         if epoch_id is not None:
             self.ledger.record(epoch_id, stats)
         return stats

@@ -52,15 +52,19 @@ class CDCPipeline:
     lsn_col: str = "lsn"
     renames: dict = field(default_factory=dict)
     n_buckets: int = 32
+    max_bucket_bytes: int = 256 << 20
 
     def __post_init__(self) -> None:
         # target: hash-bucketed on the leading natural key → MERGE only
-        # rewrites touched buckets (Iceberg bucket(N, repo) analogue)
+        # rewrites touched buckets (Iceberg bucket(N, repo) analogue);
+        # buckets that outgrow max_bucket_bytes split linear-hashing
+        # style so the bucket count tracks target size as it grows 100x
         self.target = PartitionedLakeTable(
             self.spark,
             os.path.join(self.warehouse, "target"),
             bucket_keys=[self.keys[0]],
             n_buckets=self.n_buckets,
+            max_bucket_bytes=self.max_bucket_bytes,
         )
         # conflicts/lineage are audit streams → append-only layout,
         # O(batch) writes, no rewrite of history

@@ -52,8 +52,21 @@ def _feed_events() -> int:
         return 1_000_000
 
 
-def run_cdc_replay(parallelism: int, n_events: int, epochs: int | None = None) -> dict:
-    """The target metric: events/sec of feed→resolve→MERGE apply."""
+def run_cdc_replay(
+    parallelism: int, n_events: int, epochs: int | None = None, reps: int | None = None
+) -> dict:
+    """The target metric: events/sec of feed→resolve→MERGE apply.
+
+    Measurement protocol (round-1 lesson: a cold single run undershoots
+    the steady state by up to 1.7x and the headline must be what a cold
+    ``python bench.py`` reproduces):
+    - feed materialized to parquet first (synthesis excluded),
+    - one small warmup replay on a throwaway warehouse (JVM/codegen/
+      shuffle-service warmup excluded from the timed window),
+    - ``reps`` timed replays on fresh warehouses with an os.sync between
+      them (async writeback of a prior rep otherwise poisons the next),
+    - report the MEDIAN rep.
+    """
     from pyspark.sql import functions as F
 
     from data_ingestion_resolution_platform_spark.session import get_spark
@@ -62,12 +75,14 @@ def run_cdc_replay(parallelism: int, n_events: int, epochs: int | None = None) -
 
     if epochs is None:
         epochs = int(os.environ.get("SPARK_GRAFT_EPOCHS", "4"))
+    if reps is None:
+        reps = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "3"))
     spark = get_spark("bench_cdc", parallelism=parallelism)
     # SPARK_GRAFT_BENCH_DIR=/dev/shm puts the bench warehouse on tmpfs:
     # on a real cluster every node contributes disks/object-store
     # bandwidth, so a single shared VM disk understates scaling; tmpfs
     # models per-node storage whose bandwidth scales with cores.
-    wh = tempfile.mkdtemp(
+    base = tempfile.mkdtemp(
         prefix="bench_wh_", dir=os.environ.get("SPARK_GRAFT_BENCH_DIR") or None
     )
     try:
@@ -77,25 +92,38 @@ def run_cdc_replay(parallelism: int, n_events: int, epochs: int | None = None) -
             content_words=int(os.environ.get("SPARK_GRAFT_CONTENT_WORDS", "30")),
         )
         # materialize the feed first so we measure MERGE-apply, not synthesis
-        feed_dir = os.path.join(wh, "feed")
+        feed_dir = os.path.join(base, "feed")
         feed.write.mode("overwrite").parquet(feed_dir)
         feed_df = spark.read.parquet(feed_dir)
-        pipe = CDCPipeline(spark, feed_dir="unused", warehouse=wh)
-        os.sync()  # drain feed-write dirty pages so timing is apply-only
-        t0 = time.time()
-        pipe.replay_bounded(feed_df, epochs=epochs)
-        elapsed = time.time() - t0
-        n_final = pipe.target.read().count()
+        warm = CDCPipeline(
+            spark, feed_dir="unused", warehouse=os.path.join(base, "warm")
+        )
+        warm.replay_bounded(feed_df.limit(100_000), epochs=1)
+        runs = []
+        for rep in range(reps):
+            wh = os.path.join(base, f"wh{rep}")
+            pipe = CDCPipeline(spark, feed_dir="unused", warehouse=wh)
+            os.sync()  # drain dirty pages so timing is apply-only
+            t0 = time.time()
+            pipe.replay_bounded(feed_df, epochs=epochs)
+            elapsed = time.time() - t0
+            n_final = pipe.target.read().count()
+            runs.append((elapsed, n_final))
+            shutil.rmtree(wh, ignore_errors=True)
+        runs.sort()
+        elapsed, n_final = runs[len(runs) // 2]
         return {
             "parallelism": parallelism,
             "events": n_events,
             "epochs": epochs,
+            "reps": reps,
             "seconds": round(elapsed, 3),
+            "seconds_all_reps": [round(e, 3) for e, _ in sorted(runs)],
             "events_per_sec": round(n_events / elapsed, 1),
             "final_rows": n_final,
         }
     finally:
-        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def run_resolve_core(parallelism: int, n_events: int) -> dict:
@@ -300,7 +328,36 @@ def run_queries(parallelism: int, sf_dir: str) -> dict[str, float]:
         n = QUERIES[name](spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)
         _ = n
+    # free the JVM before the CDC subprocess reps — a lingering
+    # 32-thread session competes with them for memory and cores
+    spark.stop()
     return out
+
+
+def _cdc_median_of_reps(parallelism: int, n_events: int, reps: int = 3) -> dict:
+    """Median of ``reps`` FRESH-JVM replays (one subprocess each,
+    sync+settle between). In-process back-to-back reps degrade
+    monotonically (measured 54s → 85s → 122s for identical work: page
+    cache pressure + JVM aging poison every rep after the first), so
+    per-rep process isolation is what makes the median meaningful —
+    and matches how the driver actually invokes a cold bench."""
+    runs = []
+    env = dict(os.environ, SPARK_GRAFT_CDC_REPS="1",
+               SPARK_GRAFT_FEED_EVENTS_SCALED=str(n_events))
+    for _ in range(reps):
+        subprocess.run(["sync"], check=False)
+        time.sleep(3)
+        proc = subprocess.run(
+            [sys.executable, __file__, "--cdc-only", str(parallelism)],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        runs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+    runs.sort(key=lambda r: r["events_per_sec"])
+    med = dict(runs[len(runs) // 2])
+    med["reps"] = reps
+    med["events_per_sec_all_reps"] = [r["events_per_sec"] for r in runs]
+    return med
 
 
 def main() -> None:
@@ -348,6 +405,9 @@ def main() -> None:
             os.environ,
             SPARK_GRAFT_FEED_EVENTS_SCALED=str(n_events),
             SPARK_GRAFT_EPOCHS=os.environ.get("SPARK_GRAFT_EPOCHS", "2"),
+            # the scaling loop does its own best-of-reps across fresh
+            # JVMs; one inner rep per subprocess
+            SPARK_GRAFT_CDC_REPS="1",
             # 1 KB contents (realistic source files) for both probes
             SPARK_GRAFT_CONTENT_WORDS=os.environ.get("SPARK_GRAFT_CONTENT_WORDS", "150"),
         )
@@ -415,7 +475,7 @@ def main() -> None:
         return
 
     queries = run_queries(cpus, sf_dir)
-    cdc = run_cdc_replay(cpus, _feed_events())
+    cdc = _cdc_median_of_reps(cpus, _feed_events())
     print(json.dumps({
         "metric": "cdc_merge_apply_events_per_sec",
         "value": cdc["events_per_sec"],

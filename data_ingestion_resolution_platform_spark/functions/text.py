@@ -84,9 +84,14 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, rounded: bool = True) -> Column:
     """Composite [0,1] quality score from ``quality_features`` —
-    deterministic linear blend used by the filtering operator."""
+    deterministic linear blend used by the filtering operator.
+
+    ``rounded=False`` skips the final ``round(·, 6)``: Spark rounds
+    HALF_UP while some engines round half-even, so oracle-compared
+    queries use the raw IEEE value (bit-identical across engines).
+    """
     f = quality_features(text)
     score = (
         F.least(f["n_tokens"].cast("double") / F.lit(100.0), F.lit(1.0)) * 0.3
@@ -94,7 +99,23 @@ def quality_score(text: Column) -> Column:
         + F.least(f["stopword_ratio"] * F.lit(3.0), F.lit(1.0)) * 0.2
         + (F.lit(1.0) - F.least(f["punct_ratio"] * F.lit(5.0), F.lit(1.0))) * 0.2
     )
-    return F.round(score, 6)
+    return F.round(score, 6) if rounded else score
+
+
+def split_assign(id_col: Column, fractions: dict[str, float], buckets: int = 10_000) -> Column:
+    """Deterministic train/val/test assignment from a numeric id —
+    hash-bucket the id with integer mixing (portable to any engine),
+    then map cumulative fraction ranges to split names. Stable across
+    runs/engines; no randomness, replay-safe.
+    """
+    h = F.pmod((id_col.cast("long") + 1) * F.lit(2_654_435_761), F.lit(buckets))
+    expr = None
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        cond = h < F.lit(int(round(acc * buckets)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return expr.otherwise(F.lit("rest"))
 
 
 def doc_fingerprint(text: Column) -> Column:

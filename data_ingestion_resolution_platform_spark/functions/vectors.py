@@ -43,6 +43,29 @@ def int_dot(a: Column, b: Column) -> Column:
     )
 
 
+_MIX_MULT = 2_654_435_761  # Knuth multiplicative-hash constant
+
+
+def portable_sign(idx: Column, salt: int) -> Column:
+    """±1 pseudo-random sign from pure integer mixing — identical in any
+    SQL engine: ``bit = (((idx + salt) * 2654435761) >> 13) & 1``;
+    bit 0 ⇒ +1. Used by the portable (oracle-checked) configurations of
+    the random-projection codebooks; the default configurations use
+    xxhash64 (better mixing, Spark-only)."""
+    h = (idx + F.lit(salt)) * F.lit(_MIX_MULT)
+    bit = F.shiftright(h, 13).bitwiseAND(F.lit(1))
+    return F.when(bit == 0, F.lit(1)).otherwise(F.lit(-1))
+
+
+def portable_sign_sql(idx_expr: str, salt: int) -> str:
+    """The DuckDB twin of :func:`portable_sign` (1-based list index in,
+    same 0-based mixing)."""
+    return (
+        f"(CASE WHEN ((({idx_expr} + {salt}) * {_MIX_MULT}) >> 13) & 1 = 0"
+        " THEN 1 ELSE -1 END)"
+    )
+
+
 def quantized_cosine(a_q: Column, b_q: Column) -> Column:
     """Cosine over quantized vectors: exact integer dot / sqrt(int norms).
 

@@ -33,7 +33,17 @@ from data_ingestion_resolution_platform_spark.functions.hashing import (
 # LCG multiplier reused as the band-bucket / seed-walk mixer (portable
 # mode): acc*MUL stays < 2^62 for acc < 2^31.
 _MIX = 1_103_515_245
-from data_ingestion_resolution_platform_spark.functions.vectors import quantized_cosine, quantize_vector
+
+
+def plane_salt(table: int, plane: int, seed: int) -> int:
+    """Per-(table, plane) salt for portable hyperplane signs — shared
+    with the generated DuckDB oracle SQL."""
+    return table * 7_919 + plane * 104_729 + seed * 15_485_863
+from data_ingestion_resolution_platform_spark.functions.vectors import (
+    portable_sign,
+    quantize_vector,
+    quantized_cosine,
+)
 from data_ingestion_resolution_platform_spark.util import ensure_parallelism, reuse_for_self_join
 
 
@@ -255,6 +265,7 @@ def embedding_near_dups(
     n_planes: int = 6,
     n_tables: int = 4,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Embedding near-dup via multi-table random-hyperplane LSH blocking
     + exact quantized-cosine verification.
@@ -265,7 +276,9 @@ def embedding_near_dups(
     Hyperplanes are deterministic pseudo-random (hash of
     (table, plane, dim)), built as column expressions — no driver-side
     numpy state; candidate generation is a bucket equi-join (shuffle on
-    (table, bucket)), never a cross join.
+    (table, bucket)), never a cross join. ``portable=True`` derives the
+    hyperplane signs by integer mixing (vectors.portable_sign) so a
+    DuckDB oracle reproduces the exact buckets.
     """
     q = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), quantize_vector(F.col(vec_col)).alias("qv")
@@ -274,6 +287,8 @@ def embedding_near_dups(
     # sign bit per (table, plane): dot(v, plane) >= 0 where plane
     # components are ±1 chosen by xxhash64(dim, table, plane, seed)
     def plane_term(t: int, p: int):
+        if portable:
+            return lambda x, i: x * portable_sign(i, plane_salt(t, p, seed))
         return lambda x, i: x * F.when(
             F.pmod(F.xxhash64(i, F.lit(t), F.lit(p), F.lit(seed)), F.lit(2)) == 0, F.lit(1)
         ).otherwise(F.lit(-1))

@@ -20,13 +20,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_resolution_platform_spark.functions.vectors import (
+    portable_sign,
     quantize_vector,
     quantized_cosine,
 )
 
 
-def _centroid_term(cell: int, seed: int):
-    """±1 pseudo-random centroid component product term (x * sign)."""
+def _cell_salt(cell: int, seed: int) -> int:
+    return cell * 1_000_003 + seed * 7_919
+
+
+def _centroid_term(cell: int, seed: int, portable: bool = False):
+    """±1 pseudo-random centroid component product term (x * sign).
+
+    ``portable`` swaps xxhash64 for integer mixing so a DuckDB oracle
+    can rebuild the identical codebook (functions/vectors.portable_sign).
+    """
+    if portable:
+        return lambda x, i: x * portable_sign(i, _cell_salt(cell, seed))
     return lambda x, i: x * F.when(
         F.pmod(F.xxhash64(i, F.lit(cell), F.lit(seed)), F.lit(2)) == 0, F.lit(1)
     ).otherwise(F.lit(-1))
@@ -63,7 +74,10 @@ def brute_force_topk(
     )
 
 
-def assign_cells(df: DataFrame, vec_col: str, n_cells: int = 16, seed: int = 42) -> DataFrame:
+def assign_cells(
+    df: DataFrame, vec_col: str, n_cells: int = 16, seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
     """IVF cell assignment with deterministic pseudo-random ±1 centroids.
 
     cell = argmax over centroids of dot(v, centroid_c); centroid
@@ -80,7 +94,7 @@ def assign_cells(df: DataFrame, vec_col: str, n_cells: int = 16, seed: int = 42)
             F.zip_with(
                 F.col("__qv"),
                 F.sequence(F.lit(0), F.size(F.col("__qv")) - 1),
-                _centroid_term(cell, seed),
+                _centroid_term(cell, seed, portable),
             ),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
@@ -99,6 +113,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: probe only the query's nearest cells.
 
@@ -107,7 +122,8 @@ def ivf_topk(
     on the cell id.
     """
     c = assign_cells(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)), vec_col, n_cells, seed
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)), vec_col,
+        n_cells, seed, portable,
     ).withColumn("cq", quantize_vector(F.col(vec_col)))
     # For each query: rank all cells by centroid dot, keep n_probe.
     qbase = queries.select(
@@ -119,7 +135,7 @@ def ivf_topk(
             F.zip_with(
                 F.col("qq"),
                 F.sequence(F.lit(0), F.size(F.col("qq")) - 1),
-                _centroid_term(cell, seed),
+                _centroid_term(cell, seed, portable),
             ),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,

@@ -681,8 +681,10 @@ WHERE bit_count(xor(l.sim, r.sim)) <= {max_hamming}
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dup, portable-codebook configuration
+    (oracle-checked); xxhash64 hyperplanes remain the production default."""
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, "embedding", "vec_id", threshold=0.4)
+    return embedding_near_dups(emb, "embedding", "vec_id", threshold=0.4, portable=True)
 
 
 def q_dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,6 +854,97 @@ SELECT event_type, count(*) AS n_events,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type
+"""
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-corpus preparation pipeline: quality
+    scoring → language filter → exact-dedup keep (one survivor per
+    content hash), all in one declarative plan — the shape a 100 TB
+    pretraining-data job actually runs. Expression-only; the dedup keep
+    shuffles (hash, id) never text."""
+    from data_ingestion_resolution_platform_spark.functions.text import (
+        detect_language,
+        quality_score,
+    )
+    from data_ingestion_resolution_platform_spark.operators.dedup import dedup_exact_keep
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        detect_language(F.col("text")).alias("detected_lang"),
+        quality_score(F.col("text"), rounded=False).alias("qscore"),
+    )
+    filtered = scored.filter((F.col("qscore") >= 0.35) & (F.col("detected_lang") != "und"))
+    keep = dedup_exact_keep(filtered, "text", "doc_id")
+    return keep.select("doc_id", "detected_lang", "qscore")
+
+
+def _corpus_prep_sql() -> str:
+    hits = {
+        lang: f"len(list_intersect(ltoks, [{', '.join(repr(m) for m in LANG_MARKERS[lang])}]))"
+        for lang in ["en", "de", "fr", "es"]
+    }
+    stops = "[" + ", ".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rtoks,
+         list_distinct(list_transform(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                       x -> regexp_replace(x, '[^a-z]', '', 'g'))) AS ltoks,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+         length(text) AS n_chars
+  FROM documents
+), h AS (
+  SELECT doc_id, text, n_punct, n_alpha, n_chars,
+         {hits['en']} AS en_h, {hits['de']} AS de_h, {hits['fr']} AS fr_h, {hits['es']} AS es_h,
+         len(rtoks) AS n_toks,
+         len(list_filter(rtoks, x -> list_contains({stops}, lower(x)))) AS n_stop
+  FROM d
+), s AS (
+  SELECT doc_id, text,
+         CASE WHEN en_h > 0 AND en_h >= de_h AND en_h >= fr_h AND en_h >= es_h THEN 'en'
+              WHEN de_h > 0 AND de_h >= fr_h AND de_h >= es_h THEN 'de'
+              WHEN fr_h > 0 AND fr_h >= es_h THEN 'fr'
+              WHEN es_h > 0 THEN 'es'
+              ELSE 'und' END AS detected_lang,
+         least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) * 0.3
+           + (CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1)) * 0.3
+           + least((CAST(n_stop AS DOUBLE) / greatest(n_toks, 1)) * 3.0, 1.0) * 0.2
+           + (1.0 - least((CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 5.0, 1.0)) * 0.2
+           AS qscore
+  FROM h
+), f AS (
+  SELECT * FROM s WHERE qscore >= 0.35 AND detected_lang <> 'und'
+), k AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id FROM f
+)
+SELECT doc_id, detected_lang, qscore FROM k WHERE doc_id = keep_id
+"""
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test assignment — stable
+    across runs and engines, no randomness (replay-safe splits for a
+    training pipeline)."""
+    from data_ingestion_resolution_platform_spark.functions.text import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        split_assign(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}).alias("split"),
+    )
+
+
+SQL_TRAIN_SPLIT = """
+SELECT doc_id,
+       CASE WHEN ((doc_id + 1) * 2654435761) % 10000 < 8000 THEN 'train'
+            WHEN ((doc_id + 1) * 2654435761) % 10000 < 9000 THEN 'val'
+            WHEN ((doc_id + 1) * 2654435761) % 10000 < 10000 THEN 'test'
+            ELSE 'rest' END AS split
+FROM documents
 """
 
 
@@ -1033,10 +1126,106 @@ FROM n
 """
 
 
+_QV_SQL = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+
+def _signed_dot_sql(vec: str, salt: int) -> str:
+    """Signed dot of a quantized BIGINT list against the ±1 codebook
+    vector for ``salt`` — DuckDB twin of the Spark
+    zip_with/aggregate + vectors.portable_sign expression."""
+    from data_ingestion_resolution_platform_spark.functions.vectors import portable_sign_sql
+
+    sign = portable_sign_sql("(i - 1)", salt)
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, len({vec}) + 1), i -> {vec}[CAST(i AS INT)] * {sign})), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _qcos_sql(a: str, b: str) -> str:
+    d = (
+        "CAST(list_dot_product(list_transform({x}, v -> CAST(v AS DOUBLE)), "
+        "list_transform({y}, v -> CAST(v AS DOUBLE))) AS DOUBLE)"
+    )
+    return (
+        f"{d.format(x=a, y=b)} / sqrt({d.format(x=a, y=a)} * {d.format(x=b, y=b)})"
+    )
+
+
+def _ivf_sql(n_cells: int = 16, n_probe: int = 4, k: int = 10, seed: int = 42) -> str:
+    from data_ingestion_resolution_platform_spark.operators.similarity import _cell_salt
+
+    # encode (dot, cell) as dot*n_cells + cell: list_max / list_sort on
+    # the encoding orders exactly like Spark's struct(dot, cell)
+    enc = ", ".join(
+        f"({_signed_dot_sql('qv', _cell_salt(c, seed))}) * {n_cells} + {c}"
+        for c in range(n_cells)
+    )
+    unmod = f"((x % {n_cells}) + {n_cells}) % {n_cells}"
+    return f"""
+WITH base AS (
+  SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+), cells AS (
+  SELECT vec_id, qv, [{enc}] AS enc FROM base
+), corpus AS (
+  SELECT vec_id AS neighbor_id, qv AS cq,
+         ((list_max(enc) % {n_cells}) + {n_cells}) % {n_cells} AS cell
+  FROM cells
+), probes AS (
+  SELECT vec_id AS query_id, qv AS qq,
+         unnest(list_transform(list_slice(list_reverse(list_sort(enc)), 1, {n_probe}),
+                x -> {unmod})) AS cell
+  FROM cells WHERE vec_id < 5
+), s AS (
+  SELECT query_id, neighbor_id, {_qcos_sql('qq', 'cq')} AS score
+  FROM probes p JOIN corpus c ON p.cell = c.cell AND p.query_id <> c.neighbor_id
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM w WHERE rank <= {k}
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe path in the portable-codebook configuration (integer-
+    mixed centroid signs) so the DuckDB oracle rebuilds identical cells;
+    xxhash64 codebook remains the production default."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, "embedding", "vec_id", k=10)
+    return ivf_topk(emb, queries, "embedding", "vec_id", k=10, portable=True)
+
+
+def _emb_lsh_sql(
+    threshold: float = 0.4, n_planes: int = 6, n_tables: int = 4, seed: int = 42
+) -> str:
+    from data_ingestion_resolution_platform_spark.operators.dedup import plane_salt
+
+    sigs = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN ({_signed_dot_sql('qv', plane_salt(t, p, seed))}) >= 0"
+            f" THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        sigs.append(f"{bits} AS s{t}")
+    blocked = "\n  UNION ALL ".join(
+        f"SELECT doc, qv, {t} AS tbl, s{t} AS bucket FROM sig" for t in range(n_tables)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id AS doc, {_QV_SQL} AS qv FROM embeddings
+), sig AS (
+  SELECT doc, qv, {', '.join(sigs)} FROM base
+), b AS (
+  {blocked}
+), pairs AS (
+  SELECT DISTINCT l.doc AS id_a, r.doc AS id_b, {_qcos_sql('l.qv', 'r.qv')} AS cosine
+  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.doc < r.doc
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1082,9 +1271,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "pipeline_cdc_e2e": q_pipeline_cdc_e2e,
     "contacts_csv_ingest": q_contacts_csv_ingest,
-    # rows-only (non-SQL-expressible)
+    "corpus_prep": q_corpus_prep,
+    "train_split": q_train_split,
     "dedup_embedding": q_dedup_embedding,
     "ann_ivf": q_ann_ivf,
+    # rows-only (non-SQL-expressible: Arrow pandas-UDF plumbing)
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1119,4 +1310,8 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": _simhash_sql(),
     "pipeline_cdc_e2e": SQL_PIPELINE_E2E,
     "contacts_csv_ingest": SQL_CONTACTS_CSV,
+    "ann_ivf": _ivf_sql(),
+    "dedup_embedding": _emb_lsh_sql(),
+    "corpus_prep": _corpus_prep_sql(),
+    "train_split": SQL_TRAIN_SPLIT,
 }

@@ -71,6 +71,34 @@ def session_stats(
     )
 
 
+def session_window_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Spark-native session windows (``F.session_window``) — the same
+    gap-merge semantics as :func:`sessionize` but expressed with the
+    built-in operator, which also works under Structured Streaming with
+    a watermark (state-store-merged sessions, no window function).
+
+    Output: keys..., w_start, w_end (= last event + gap), n_events.
+    In batch mode this equals the lag+cumsum plan with
+    ``session_end + gap`` as the window end.
+    """
+    w = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+    return (
+        df.groupBy(w.alias("w"), *[F.col(c) for c in key_cols])
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+        )
+    )
+
+
 def tumbling_agg(
     df: DataFrame,
     ts_col: str,

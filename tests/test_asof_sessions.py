@@ -125,6 +125,36 @@ def test_sessionize_gap(spark):
     assert rows[(1, 2)].n_events == 1
 
 
+def test_session_window_agg_matches_sessionize(spark):
+    """F.session_window gap-merge == lag+cumsum sessionize, including
+    the exact-gap boundary (an event exactly `gap` seconds after the
+    previous one)."""
+    from data_ingestion_resolution_platform_spark.operators.sessions import (
+        session_stats,
+        session_window_agg,
+    )
+
+    rows = [
+        ("u1", "2024-01-01 10:00:00"),
+        ("u1", "2024-01-01 10:10:00"),
+        ("u1", "2024-01-01 10:40:00"),  # exactly 1800s after previous
+        ("u1", "2024-01-01 12:00:00"),  # new session
+        ("u2", "2024-01-01 09:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    native = {
+        (r.user_id, r.w_start, r.n_events)
+        for r in session_window_agg(ev, ["user_id"], "ts", 1800).collect()
+    }
+    lagged = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in session_stats(ev, ["user_id"], "ts", 1800).collect()
+    }
+    assert native == lagged
+
+
 def test_tumbling(spark):
     df = spark.createDataFrame(
         [("2024-01-01 10:00:01", "a"), ("2024-01-01 10:59:59", "a"),

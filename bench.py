@@ -289,6 +289,53 @@ def hw_scaling_probe(n: int, n4: int, seconds: float = 10.0) -> dict:
     }
 
 
+def storage_bw_probe(n: int, n4: int, mb_per_proc: int = 512) -> dict:
+    """Aggregate write bandwidth of the bench storage target at two
+    writer counts. On a single VM the disk/tmpfs (and the memory bus
+    behind tmpfs) is SHARED: 4x the writers do not bring 4x bandwidth,
+    which bounds any end-to-end (write-inclusive) scaling measurement
+    here. A real cluster adds disks/object-store bandwidth with every
+    node, so the e2e criterion must be read against this ceiling."""
+    import tempfile
+
+    target = os.environ.get("SPARK_GRAFT_BENCH_DIR") or tempfile.gettempdir()
+
+    def rate(k: int) -> float:
+        procs = []
+        paths = []
+        t0 = time.time()
+        for i in range(k):
+            p = os.path.join(target, f"_bwprobe_{os.getpid()}_{i}")
+            paths.append(p)
+            procs.append(
+                subprocess.Popen(
+                    ["dd", f"if=/dev/zero", f"of={p}", "bs=4M",
+                     f"count={mb_per_proc // 4}", "conv=fsync"],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                )
+            )
+        for p in procs:
+            p.wait()
+        el = time.time() - t0
+        for p in paths:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        return k * mb_per_proc / el
+
+    subprocess.run(["sync"], check=False)
+    r_n = rate(n)
+    subprocess.run(["sync"], check=False)
+    r_4n = rate(n4)
+    return {
+        "storage_mb_s_n": round(r_n, 0),
+        "storage_mb_s_4n": round(r_4n, 0),
+        "storage_bw_efficiency": round((r_4n / r_n) / (n4 / n), 3),
+        "storage_target": target,
+    }
+
+
 def _hash_worker(seconds: float) -> int:
     import hashlib
 
@@ -455,11 +502,16 @@ def main() -> None:
             return round((m[n4]["events_per_sec"] / m[n]["events_per_sec"]) / (n4 / n), 3)
 
         hw = hw_scaling_probe(n, n4)
+        # probe the same storage target the e2e warehouses used
+        if "SPARK_GRAFT_BENCH_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+            os.environ["SPARK_GRAFT_BENCH_DIR"] = "/dev/shm"
+        bw = storage_bw_probe(n, n4)
         print(json.dumps({
             "metric": "cdc_scaling_efficiency",
             "value": eff("core"),
             "normalized_vs_host_ceiling": round(eff("core") / hw["hw_efficiency"], 3),
             **hw,
+            **bw,
             "unit": "ratio",
             "n": n, "4n": n4,
             "core_events_per_sec_n": results["core"][n]["events_per_sec"],

@@ -245,6 +245,12 @@ class ResolvedBatch:
         self.winners = winners
         self.conflicts = conflicts
 
+    def conflict_key_count(self) -> int:
+        """Number of conflicted keys, read straight from the persisted
+        per-key aggregate — unlike ``conflicts.count()`` this never
+        re-executes the candidate semi-join/aggregation."""
+        return self._agg.filter(F.col("n_signatures") > 1).count()
+
     def unpersist(self) -> None:
         self._agg.unpersist()
 

@@ -126,9 +126,10 @@ class CDCPipeline:
                 delete_condition=F.col("op") == "D",
             )
             # A7/M7 status decision (reference `worker.py:404-411`):
-            # conflicts ⇒ NEEDS_REVIEW, else COMPLETED. Cheap — reads
-            # the cached per-key aggregate, writes one summary row.
-            n_conf = conflicts.count()
+            # conflicts ⇒ NEEDS_REVIEW, else COMPLETED. Counted from the
+            # persisted per-key aggregate — counting the conflicts frame
+            # itself would re-run the candidate semi-join + aggregation.
+            n_conf = resolved.conflict_key_count()
             status = "NEEDS_REVIEW" if n_conf else "COMPLETED"
             self.lineage.append(
                 epoch_summary(self.spark, epoch, status, n_conf), f"s{epoch}", 1

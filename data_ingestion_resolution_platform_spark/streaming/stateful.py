@@ -49,6 +49,37 @@ def windowed_counts_stream(
     )
 
 
+def session_counts_stream(
+    stream: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked streaming sessionization via native session windows.
+
+    Sessions merge in the state store while open; once the watermark
+    passes ``last_event + gap`` the session finalizes, is emitted
+    (append mode), and its state is evicted — bounded state for
+    unbounded streams. The batch twin is
+    ``operators.sessions.session_window_agg`` (same gap-merge
+    semantics; pinned by test)."""
+    from pyspark.sql import functions as F
+
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"), *key_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+        )
+    )
+
+
 def running_dedup_stream(
     stream: DataFrame,
     key_cols: Sequence[str],

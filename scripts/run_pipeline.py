@@ -29,7 +29,9 @@ def main(argv=None) -> int:
     ap.add_argument("--available-now", action="store_true", help="drain backlog then stop")
     ap.add_argument("--epochs", type=int, default=4, help="replay epoch count")
     ap.add_argument("--parallelism", type=int, default=None)
-    ap.add_argument("--buckets", type=int, default=32, help="target table hash buckets")
+    ap.add_argument("--buckets", type=int, default=32, help="target table initial hash buckets")
+    ap.add_argument("--max-bucket-mb", type=int, default=256,
+                    help="bucket split threshold (linear-hashing growth)")
     ap.add_argument("--rename", action="append", default=[], metavar="FEED=CANON",
                     help="schema-evolution rename mapping (repeatable)")
     args = ap.parse_args(argv)
@@ -44,6 +46,7 @@ def main(argv=None) -> int:
     pipe = CDCPipeline(
         spark, feed_dir=args.feed, warehouse=args.warehouse,
         renames=renames, n_buckets=args.buckets,
+        max_bucket_bytes=args.max_bucket_mb << 20,
     )
 
     if args.mode == "status":

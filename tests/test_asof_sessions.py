@@ -259,3 +259,57 @@ def test_windowed_counts_stream_watermark(spark, tmp_path):
     # arrived before the watermark passed 10:10)
     assert got.get("2024-01-01 10:00:00") == 3
     assert got.get("2024-01-01 11:00:00") == 1
+
+
+def test_session_counts_stream(spark, tmp_path):
+    """Streaming session windows: sessions merge across micro-batches in
+    the state store and finalize once the watermark passes last+gap."""
+    from data_ingestion_resolution_platform_spark.streaming.stateful import (
+        session_counts_stream,
+    )
+
+    feed = str(tmp_path / "sfeed")
+    ckpt = str(tmp_path / "sckpt")
+    sink = str(tmp_path / "ssink")
+    os.makedirs(feed, exist_ok=True)
+    schema = "ts timestamp, k string"
+
+    def emit(rows):
+        spark.createDataFrame(rows, "ts string, k string").select(
+            F.col("ts").cast("timestamp").alias("ts"), "k"
+        ).coalesce(1).write.mode("append").parquet(feed)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(feed)
+        agg = session_counts_stream(
+            stream, "ts", ["k"], gap="10 minutes", watermark="5 minutes"
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two events 6 min apart — ONE session (gap 10m)
+    emit([("2024-01-01 10:00:00", "a"), ("2024-01-01 10:06:00", "a")])
+    run_once()
+    # batch 2: extends the same session (within gap of 10:06)
+    emit([("2024-01-01 10:12:00", "a")])
+    run_once()
+    # batch 3: far-future event finalizes the first session
+    emit([("2024-01-01 13:00:00", "a")])
+    run_once()
+    emit([("2024-01-01 15:00:00", "a")])          # finalize the 13:00 session
+    run_once()
+    out = spark.read.parquet(sink)
+    got = {
+        (str(r.w_start), str(r.w_end)): r.n_events
+        for r in out.filter(F.col("k") == "a").collect()
+    }
+    # one merged 3-event session [10:00, 10:22), one singleton at 13:00
+    assert got.get(("2024-01-01 10:00:00", "2024-01-01 10:22:00")) == 3
+    assert got.get(("2024-01-01 13:00:00", "2024-01-01 13:10:00")) == 1

@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_resolution_platform_spark.functions.normalize import (
@@ -50,7 +50,12 @@ from data_ingestion_resolution_platform_spark.operators.dedup import (
     simhash_near_dups,
 )
 from data_ingestion_resolution_platform_spark.operators.multimodal import multimodal_features
+from data_ingestion_resolution_platform_spark.operators.ranges import interval_join
 from data_ingestion_resolution_platform_spark.operators.similarity import brute_force_topk, ivf_topk
+from data_ingestion_resolution_platform_spark.operators.stats import (
+    group_percentiles,
+    percentile_rank_sql,
+)
 from data_ingestion_resolution_platform_spark.sources.feed import events_as_change_feed
 
 
@@ -318,6 +323,120 @@ def q_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_UNION = """
 SELECT n_name AS name FROM nation UNION SELECT r_name AS name FROM region
+"""
+
+
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in ONE pass: ROLLUP emits per-(flag,status),
+    per-flag, and grand-total rows from a single shuffle (Catalyst
+    Expand), instead of three separate aggregations over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "count_order",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+_PCT_PS = [0.25, 0.50, 0.75, 0.95]
+
+
+def q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank price percentiles per order priority
+    (operators/stats.py — engine-reproducible rank selection, no
+    interpolation)."""
+    orders = _t(spark, sf_dir, "orders")
+    return group_percentiles(
+        orders, ["o_orderpriority"], "o_totalprice", _PCT_PS, tie_cols=["o_orderkey"]
+    )
+
+
+def q_orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend + order sequence number (ordered
+    window, decimal-exact cumulative sum)."""
+    orders = _t(spark, sf_dir, "orders")
+    order_by = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy(*order_by)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w_run)
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w_seq).alias("order_seq"),
+    )
+
+
+SQL_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+"""
+
+
+# overlapping bands on purpose: a real interval join, not a binning
+_VALUE_BANDS = [
+    (1, "low", 0.0, 150.0),
+    (2, "mid", 100.0, 300.0),
+    (3, "high", 250.0, 500.0),
+]
+
+
+def q_events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/ranges.py): events matched to overlapping
+    value bands via the bucketed equi-join strategy, then aggregated
+    per band."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        _VALUE_BANDS, "band_id long, band string, lo double, hi double"
+    )
+    joined = interval_join(ev, bands, "value", "lo", "hi", bucket_width=50.0)
+    return joined.groupBy("band_id", "band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+_BANDS_VALUES = ", ".join(
+    f"({i}, '{name}', {lo!r}, {hi!r})" for i, name, lo, hi in _VALUE_BANDS
+)
+
+SQL_VALUE_BANDS = f"""
+WITH bands(band_id, band, lo, hi) AS (VALUES {_BANDS_VALUES})
+SELECT CAST(band_id AS BIGINT) AS band_id, band, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band_id, band
 """
 
 
@@ -1285,6 +1404,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_order_per_customer": q_latest_order_per_customer,
     "topk_orders": q_topk_orders,
     "distinct_union": q_distinct_union,
+    "pricing_rollup": q_pricing_rollup,
+    "order_percentiles": q_order_percentiles,
+    "orders_running_total": q_orders_running_total,
+    "events_value_bands": q_events_value_bands,
     "contacts_normalize": q_contacts_normalize,
     "contacts_issues": q_contacts_issues,
     "dedup_exact": q_dedup_exact,
@@ -1325,6 +1448,12 @@ ORACLES: dict[str, str] = {
     "latest_order_per_customer": SQL_LATEST_ORDER,
     "topk_orders": SQL_TOPK,
     "distinct_union": SQL_UNION,
+    "pricing_rollup": SQL_ROLLUP,
+    "order_percentiles": percentile_rank_sql(
+        "orders", ["o_orderpriority"], "o_totalprice", _PCT_PS, ["o_orderkey"]
+    ),
+    "orders_running_total": SQL_RUNNING_TOTAL,
+    "events_value_bands": SQL_VALUE_BANDS,
     "contacts_normalize": SQL_CONTACTS_NORM,
     "contacts_issues": SQL_CONTACTS_ISSUES,
     "dedup_exact": SQL_DEDUP_EXACT,

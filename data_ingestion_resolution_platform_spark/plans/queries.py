@@ -404,6 +404,64 @@ FROM orders
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per user, one count column per event type.
+    Explicit pivot values keep the plan a single groupBy (no extra
+    distinct-values job) — required at scale anyway."""
+    ev = _t(spark, sf_dir, "events")
+    piv = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).agg(F.count(F.lit(1)))
+    return piv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+SQL_TYPE_PIVOT = f"""
+SELECT user_id,
+       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT (distinct set semantics): customers with open
+    orders split by whether they are in the BUILDING segment."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    open_cust = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    exc = open_cust.subtract(building).withColumn("setop", F.lit("except"))
+    itc = open_cust.intersect(building).withColumn("setop", F.lit("intersect"))
+    return exc.unionByName(itc)
+
+
+SQL_SET_OPS = """
+WITH open_cust AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+),
+building AS (
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+SELECT custkey, 'except' AS setop
+FROM (SELECT custkey FROM open_cust EXCEPT SELECT custkey FROM building)
+UNION ALL
+SELECT custkey, 'intersect' AS setop
+FROM (SELECT custkey FROM open_cust INTERSECT SELECT custkey FROM building)
+"""
+
+
 # overlapping bands on purpose: a real interval join, not a binning
 _VALUE_BANDS = [
     (1, "low", 0.0, 150.0),
@@ -1408,6 +1466,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_percentiles": q_order_percentiles,
     "orders_running_total": q_orders_running_total,
     "events_value_bands": q_events_value_bands,
+    "events_type_pivot": q_events_type_pivot,
+    "customer_set_ops": q_customer_set_ops,
     "contacts_normalize": q_contacts_normalize,
     "contacts_issues": q_contacts_issues,
     "dedup_exact": q_dedup_exact,
@@ -1454,6 +1514,8 @@ ORACLES: dict[str, str] = {
     ),
     "orders_running_total": SQL_RUNNING_TOTAL,
     "events_value_bands": SQL_VALUE_BANDS,
+    "events_type_pivot": SQL_TYPE_PIVOT,
+    "customer_set_ops": SQL_SET_OPS,
     "contacts_normalize": SQL_CONTACTS_NORM,
     "contacts_issues": SQL_CONTACTS_ISSUES,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -80,6 +80,47 @@ def session_counts_stream(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "15 minutes",
+    watermark: str = "30 minutes",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream event-time interval join.
+
+    Each left row joins right rows with equal ``keys`` whose timestamp
+    falls in ``[left_ts - lookback, left_ts]`` (e.g. purchases joined to
+    the clicks that preceded them). Both sides are watermarked and the
+    join condition carries the time range, so Spark bounds the buffered
+    state on each side and evicts rows once the watermark passes their
+    join window — without the range condition a stream-stream join
+    would buffer forever. Right columns are prefixed to avoid clashes;
+    the right key copies are dropped after the join.
+
+    Batch twin for testing: the same condition as a plain inner join.
+    """
+    from pyspark.sql import functions as F
+
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    rw = rw.select([F.col(c).alias(right_prefix + c) for c in rw.columns])
+    cond = None
+    for k in keys:
+        e = F.col(k) == F.col(right_prefix + k)
+        cond = e if cond is None else cond & e
+    rts = F.col(right_prefix + right_ts)
+    cond = (
+        cond
+        & (rts >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (rts <= F.col(left_ts))
+    )
+    return lw.join(rw, cond, "inner").drop(*[right_prefix + k for k in keys])
+
+
 def running_dedup_stream(
     stream: DataFrame,
     key_cols: Sequence[str],

@@ -313,3 +313,63 @@ def test_session_counts_stream(spark, tmp_path):
     # one merged 3-event session [10:00, 10:22), one singleton at 13:00
     assert got.get(("2024-01-01 10:00:00", "2024-01-01 10:22:00")) == 3
     assert got.get(("2024-01-01 13:00:00", "2024-01-01 13:10:00")) == 1
+
+
+def test_interval_join_streams_matches_batch(spark, tmp_path):
+    """Stream-stream interval join equals the batch join over the same
+    data, including matches that span micro-batch boundaries."""
+    from data_ingestion_resolution_platform_spark.streaming.stateful import (
+        interval_join_streams,
+    )
+
+    lfeed = str(tmp_path / "lfeed")
+    rfeed = str(tmp_path / "rfeed")
+    ckpt = str(tmp_path / "jckpt")
+    sink = str(tmp_path / "jsink")
+    os.makedirs(lfeed, exist_ok=True)
+    os.makedirs(rfeed, exist_ok=True)
+
+    def emit(path, rows, schema):
+        cols = [s.strip().split()[0] for s in schema.split(",")]
+        spark.createDataFrame(rows, schema).select(
+            F.col("ts").cast("timestamp").alias("ts"), *cols[1:]
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    def drain():
+        l = spark.readStream.schema("ts timestamp, k string, amount double").parquet(lfeed)
+        r = spark.readStream.schema("ts timestamp, k string, page string").parquet(rfeed)
+        j = interval_join_streams(
+            l, r, ["k"], "ts", "ts", lookback="10 minutes", watermark="20 minutes"
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(180)
+
+    lschema = "ts string, k string, amount double"
+    rschema = "ts string, k string, page string"
+    # micro-batch 1: clicks before any purchase
+    emit(rfeed, [("2024-01-01 10:00:00", "a", "home"),
+                 ("2024-01-01 10:04:00", "a", "item"),
+                 ("2024-01-01 09:00:00", "a", "old")], rschema)
+    drain()
+    # micro-batch 2: the purchase arrives later — must still join the
+    # batch-1 clicks buffered in state (within 10 min lookback)
+    emit(lfeed, [("2024-01-01 10:08:00", "a", 9.99),
+                 ("2024-01-01 10:30:00", "b", 1.00)], lschema)
+    emit(rfeed, [("2024-01-01 10:25:00", "b", "promo")], rschema)
+    drain()
+
+    got = {(str(r.ts), r.k, r.r_page) for r in spark.read.parquet(sink).collect()}
+    # purchase a@10:08 joins clicks at 10:00 and 10:04 (not 09:00 — outside
+    # lookback); purchase b@10:30 joins promo@10:25
+    assert got == {
+        ("2024-01-01 10:08:00", "a", "home"),
+        ("2024-01-01 10:08:00", "a", "item"),
+        ("2024-01-01 10:30:00", "b", "promo"),
+    }

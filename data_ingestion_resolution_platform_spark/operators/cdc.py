@@ -199,6 +199,7 @@ def detect_conflicts(
     candidate_cols: Sequence[str] = (),
     max_candidates: int = 20,
     n_salt: int = 16,
+    include_candidates: bool = True,
 ) -> DataFrame:
     """A2/A3 (`worker.py:376-392`): keys whose rows disagree on identity.
 
@@ -224,6 +225,10 @@ def detect_conflicts(
         F.count(F.lit(1)).alias("n_rows"),
     )
     conflicted = agg.filter(F.col("n_signatures") > 1)
+    if not include_candidates:
+        # detection-only callers skip the candidate semi-join + two-phase
+        # aggregation entirely (2 fewer shuffles over the full input)
+        return conflicted
     cand_input = df.join(conflicted.select(*keys), on=list(keys), how="left_semi")
     cands = bounded_candidates(
         cand_input, keys, lsn_col, candidate_cols, max_candidates, n_salt

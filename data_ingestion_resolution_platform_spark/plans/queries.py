@@ -119,7 +119,9 @@ SELECT lsn, op, ts, user_id, event_type, value FROM w WHERE rn = 1
 def q_cdc_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: natural keys with >1 distinct identity signature."""
     feed = events_as_change_feed(spark, sf_dir)
-    out = detect_conflicts(feed, ["user_id"], F.col("event_type"), "lsn")
+    out = detect_conflicts(
+        feed, ["user_id"], F.col("event_type"), "lsn", include_candidates=False
+    )
     return out.select("user_id", "n_signatures", "n_rows")
 
 

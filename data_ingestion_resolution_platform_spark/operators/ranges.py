@@ -53,8 +53,14 @@ def interval_join(
         "_rj_bucket",
         F.explode(F.sequence(F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w))),
     )
+    # pin the build side to the exploded-intervals frame: with a local
+    # interval relation Catalyst has no stats for it and may elect to
+    # broadcast the *probe* side instead (measured BuildLeft on the
+    # events scan) — harmless on a laptop, fatal when the probe side is
+    # the 100 TB table. shuffle_hash keeps it a bucket-partitioned hash
+    # join built on the interval side at every scale.
     return (
-        lb.join(rb, "_rj_bucket", "inner")
+        lb.join(rb.hint("shuffle_hash"), "_rj_bucket", "inner")
         .filter(contained)
         .drop("_rj_bucket")
     )

@@ -49,7 +49,11 @@ from data_ingestion_resolution_platform_spark.operators.dedup import (
     ngram_jaccard,
     simhash_near_dups,
 )
-from data_ingestion_resolution_platform_spark.operators.multimodal import multimodal_features
+from data_ingestion_resolution_platform_spark.operators.multimodal import (
+    decode_media,
+    multimodal_features,
+    synth_media_payloads,
+)
 from data_ingestion_resolution_platform_spark.operators.ranges import interval_join
 from data_ingestion_resolution_platform_spark.operators.similarity import brute_force_topk, ivf_topk
 from data_ingestion_resolution_platform_spark.operators.stats import (
@@ -1447,6 +1451,47 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_features(blobs, "payload", "doc_id")
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, oracle-checked: deterministic PPM/WAV payloads
+    are synthesized per doc_id, decoded with actual pixel/sample
+    arithmetic (numpy over Arrow batches), and the DuckDB oracle
+    recomputes the expected features in closed form from doc_id — so
+    the correctness gate covers the full encode→decode→feature loop."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payloads = synth_media_payloads(docs, "doc_id")
+    return decode_media(payloads, "payload", "doc_id")
+
+
+SQL_MEDIA_DECODE = """
+WITH ids AS (SELECT doc_id FROM documents),
+img AS (
+  SELECT doc_id, CAST(8 + doc_id % 9 AS INTEGER) AS width,
+         CAST(8 + doc_id % 7 AS INTEGER) AS height
+  FROM ids WHERE doc_id % 2 = 0
+),
+img_feat AS (
+  SELECT i.doc_id, 'image' AS kind, i.width, i.height,
+         CAST(NULL AS INTEGER) AS sample_rate,
+         CAST(i.width * i.height AS BIGINT) AS n_units,
+         avg(CAST((i.doc_id * 31 + g.j) % 256 AS DOUBLE)) AS mean_level
+  FROM img i, LATERAL (SELECT unnest(range(0, 3 * i.width * i.height)) AS j) g
+  GROUP BY i.doc_id, i.width, i.height
+),
+aud AS (
+  SELECT doc_id, CAST(8000 + (doc_id % 5) * 1000 AS INTEGER) AS sample_rate,
+         CAST(64 + doc_id % 50 AS BIGINT) AS n FROM ids WHERE doc_id % 2 = 1
+),
+aud_feat AS (
+  SELECT a.doc_id, 'audio' AS kind, CAST(NULL AS INTEGER) AS width,
+         CAST(NULL AS INTEGER) AS height, a.sample_rate, a.n AS n_units,
+         avg(CAST(abs((a.doc_id * 7 + 13 * g.j) % 2048 - 1024) AS DOUBLE)) AS mean_level
+  FROM aud a, LATERAL (SELECT unnest(range(0, a.n)) AS j) g
+  GROUP BY a.doc_id, a.sample_rate, a.n
+)
+SELECT * FROM img_feat UNION ALL SELECT * FROM aud_feat
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1495,6 +1540,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     # rows-only (non-SQL-expressible: Arrow pandas-UDF plumbing)
     "multimodal_features": q_multimodal_features,
+    # real PPM/WAV decode — oracled via closed-form feature arithmetic
+    "media_decode": q_media_decode,
 }
 
 ORACLES: dict[str, str] = {
@@ -1541,4 +1588,5 @@ ORACLES: dict[str, str] = {
     "dedup_embedding": _emb_lsh_sql(),
     "corpus_prep": _corpus_prep_sql(),
     "train_split": SQL_TRAIN_SPLIT,
+    "media_decode": SQL_MEDIA_DECODE,
 }

@@ -82,3 +82,39 @@ def test_resize_stub_shapes(spark):
     row = resize_stub(df, "payload", "doc_id", 32, 32).first()
     assert row["width"] == 32 and row["height"] == 32
     assert len(row["payload"]) == 32 * 32 // 8 + 1
+
+
+def test_decode_media_ppm_wav_roundtrip(spark):
+    """Real decode: synthesized PPM/WAV payloads decode to exactly the
+    features the generator arithmetic predicts."""
+    from data_ingestion_resolution_platform_spark.operators.multimodal import (
+        decode_media,
+        synth_media_payloads,
+    )
+
+    df = spark.createDataFrame([(10,), (11,), (496,)], "doc_id long")
+    payloads = synth_media_payloads(df, "doc_id")
+    out = {r.doc_id: r for r in decode_media(payloads, "payload", "doc_id").collect()}
+
+    img = out[10]  # even -> PPM: w=8+10%9=9, h=8+10%7=11
+    assert (img.kind, img.width, img.height, img.n_units) == ("image", 9, 11, 99)
+    exp_mean = sum((10 * 31 + i) % 256 for i in range(3 * 9 * 11)) / (3 * 9 * 11)
+    assert abs(img.mean_level - exp_mean) < 1e-12
+    assert img.sample_rate is None
+
+    aud = out[11]  # odd -> WAV: sr=8000+(11%5)*1000, n=64+11%50
+    assert (aud.kind, aud.sample_rate, aud.n_units) == ("audio", 9000, 75)
+    exp_abs = sum(abs((11 * 7 + 13 * j) % 2048 - 1024) for j in range(75)) / 75
+    assert abs(aud.mean_level - exp_abs) < 1e-12
+    assert aud.width is None and aud.height is None
+
+
+def test_decode_media_unknown_container_falls_back(spark):
+    from data_ingestion_resolution_platform_spark.operators.multimodal import decode_media
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG-not-decodable-here"))], "doc_id long, payload binary"
+    )
+    row = decode_media(df, "payload", "doc_id").first()
+    assert row.kind == "unknown"
+    assert row.n_units == 23  # stub reports byte count

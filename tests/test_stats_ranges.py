@@ -69,3 +69,26 @@ def test_group_percentiles_ties_deterministic(spark):
     )
     row = group_percentiles(df, ["g"], "v", [0.5], tie_cols=["id"]).collect()[0]
     assert (row.n_rows, row.p50) == (10, 5.0)
+
+
+def test_percentile_approx_is_the_scale_path(spark):
+    """The sketch alternative group_percentiles' docstring points to:
+    percentile_approx (mergeable partials, no per-group sort) stays
+    within its accuracy bound of the exact nearest-rank answer."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [("g", i, float(rnd.lognormvariate(0, 1))) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    exact = group_percentiles(df, ["g"], "v", [0.5, 0.95], tie_cols=["id"]).first()
+    approx = df.groupBy("g").agg(
+        F.percentile_approx("v", [0.5, 0.95], 10_000).alias("ap")
+    ).first()["ap"]
+    vals = sorted(r[2] for r in rows)
+    # accuracy=10000 => rank error <= n/accuracy = 2 ranks
+    for got, p in zip(approx, (0.5, 0.95)):
+        k = max(1, -(-len(vals) * p // 1))
+        lo = vals[max(0, int(k) - 1 - 4)]
+        hi = vals[min(len(vals) - 1, int(k) - 1 + 4)]
+        assert lo <= got <= hi
+    assert abs(approx[0] - exact.p50) <= (exact.p50 * 0.01 + 1e-9)

@@ -89,6 +89,7 @@ def interval_join_streams(
     lookback: str = "15 minutes",
     watermark: str = "30 minutes",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream event-time interval join.
 
@@ -101,10 +102,17 @@ def interval_join_streams(
     would buffer forever. Right columns are prefixed to avoid clashes;
     the right key copies are dropped after the join.
 
-    Batch twin for testing: the same condition as a plain inner join.
+    ``how="left_outer"`` is the enrichment variant: a left row with no
+    in-window right match is emitted with NULL right columns — but only
+    once the watermark passes its join window (Spark must be sure no
+    match can still arrive), so outer results trail the watermark.
+
+    Batch twin for testing: the same condition as a plain join.
     """
     from pyspark.sql import functions as F
 
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type {how!r} (inner|left_outer)")
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     rw = rw.select([F.col(c).alias(right_prefix + c) for c in rw.columns])
@@ -118,7 +126,7 @@ def interval_join_streams(
         & (rts >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
         & (rts <= F.col(left_ts))
     )
-    return lw.join(rw, cond, "inner").drop(*[right_prefix + k for k in keys])
+    return lw.join(rw, cond, how).drop(*[right_prefix + k for k in keys])
 
 
 def running_dedup_stream(

@@ -373,3 +373,62 @@ def test_interval_join_streams_matches_batch(spark, tmp_path):
         ("2024-01-01 10:08:00", "a", "item"),
         ("2024-01-01 10:30:00", "b", "promo"),
     }
+
+
+def test_interval_join_streams_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer variant: a purchase with no in-window click is emitted
+    with NULL right columns once the watermark closes its window."""
+    from data_ingestion_resolution_platform_spark.streaming.stateful import (
+        interval_join_streams,
+    )
+
+    lfeed = str(tmp_path / "lfeed")
+    rfeed = str(tmp_path / "rfeed")
+    ckpt = str(tmp_path / "jckpt")
+    sink = str(tmp_path / "jsink")
+    os.makedirs(lfeed, exist_ok=True)
+    os.makedirs(rfeed, exist_ok=True)
+
+    def emit(path, rows, schema):
+        cols = [s.strip().split()[0] for s in schema.split(",")]
+        spark.createDataFrame(rows, schema).select(
+            F.col("ts").cast("timestamp").alias("ts"), *cols[1:]
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    def drain():
+        l = spark.readStream.schema("ts timestamp, k string, amount double").parquet(lfeed)
+        r = spark.readStream.schema("ts timestamp, k string, page string").parquet(rfeed)
+        j = interval_join_streams(
+            l, r, ["k"], "ts", "ts",
+            lookback="10 minutes", watermark="10 minutes", how="left_outer",
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(180)
+
+    lschema = "ts string, k string, amount double"
+    rschema = "ts string, k string, page string"
+    emit(lfeed, [("2024-01-01 10:00:00", "a", 5.0),     # will match
+                 ("2024-01-01 10:00:00", "b", 7.0)], lschema)  # never matches
+    emit(rfeed, [("2024-01-01 09:55:00", "a", "home")], rschema)
+    drain()
+    # advance both watermarks far past 10:00 + lookback so the unmatched
+    # left row finalizes
+    emit(lfeed, [("2024-01-01 12:00:00", "c", 1.0)], lschema)
+    emit(rfeed, [("2024-01-01 12:00:00", "c", "late")], rschema)
+    drain()
+    drain()  # extra pass lets the outer state flush after watermark moves
+
+    rows = spark.read.parquet(sink).collect()
+    by_k = {}
+    for r in rows:
+        by_k.setdefault(r.k, set()).add(r.r_page)
+    assert by_k["a"] == {"home"}          # matched normally
+    assert by_k["b"] == {None}            # emitted with NULL right side
+

@@ -1,0 +1,94 @@
+"""Distributed connected components over a candidate-pair edge list.
+
+Near-dup detection (MinHash/SimHash/embedding LSH, `operators/dedup.py`)
+emits *pairs*; a training-data pipeline needs *clusters* — every
+transitively-connected duplicate group collapsed to one canonical id so
+exactly one representative survives. Pairwise keep-min is wrong the
+moment chains appear (A~B, B~C but not A~C keeps A and C both "winners"
+of different pairs).
+
+Spark-first design: hash-min label propagation with pointer doubling —
+each node's label (the min doc id reachable so far) is pushed across
+edges, then every label is replaced by its label's label (path
+compression), until a fixed point. Each iteration is two distributed
+shuffles (edge join + min-agg, then the shortcut self-join); the loop
+runs on the driver but never moves data through it, and pointer
+doubling makes the iteration count O(log diameter) — verified by the
+40-node-path test — instead of the linear hop count of plain hash-min.
+Convergence is detected with a 1-row aggregate (labels decrease
+monotonically ⇒ the label sum strictly decreases until fixed point),
+not a row-level diff join.
+
+At 100 TB: edges come pre-blocked from LSH (O(docs × bands), never
+all-pairs); each propagation shuffles |E| rows of two longs, each
+shortcut |V|. This is the hash-min + shortcutting family of Kiveris et
+al., "Connected Components in MapReduce and Beyond" (SoCC'14); the
+large-star/small-star variant there also bounds per-key fan-in for
+adversarially hub-heavy graphs — dup clusters are dense and
+low-diameter, so hash-min+doubling is the right default. Lineage is
+truncated every iteration via ``localCheckpoint`` so the plan does not
+grow with the loop (reliable ``checkpoint`` on a real cluster if
+executor loss must be survivable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_out: str = "id",
+    label_out: str = "cluster_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, cluster_id) for every node appearing in ``edges``; the
+    cluster id is the MIN node id of the component (deterministic,
+    engine-portable — no Spark-specific hashing in the output).
+
+    Nodes with no edges are absent (callers union isolated ids back as
+    their own singleton cluster — see ``plans/queries.q_dedup_clusters``).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    sym = e.unionAll(e.select(F.col("t").alias("s"), F.col("s").alias("t"))).distinct()
+    # the edge list is re-joined every iteration — materialize once
+    sym = sym.localCheckpoint(eager=False)
+
+    # init folds the first propagation in: label = min(self, neighbors)
+    labels = sym.groupBy(F.col("s").alias(id_out)).agg(
+        F.least(F.min("t"), F.first("s")).alias(label_out)
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum(label_out)).collect()[0][0]
+
+    for _ in range(max_iter):
+        # push each node's label to its neighbors, then take the min of
+        # (own label, incoming labels)
+        incoming = sym.join(
+            labels.withColumnRenamed(id_out, "s"), on="s"
+        ).select(F.col("t").alias(id_out), F.col(label_out))
+        propagated = (
+            labels.unionByName(incoming)
+            .groupBy(id_out)
+            .agg(F.min(label_out).alias(label_out))
+        )
+        # pointer-doubling shortcut: replace each label by its label's
+        # label (labels always name live nodes, so the join is total) —
+        # turns linear per-hop spread into O(log diameter) convergence
+        # on path-shaped components
+        lab_of_lab = propagated.select(
+            F.col(id_out).alias("_lk"), F.col(label_out).alias("_ll")
+        )
+        labels_new = (
+            propagated.join(lab_of_lab, propagated[label_out] == F.col("_lk"))
+            .select(id_out, F.least(label_out, "_ll").alias(label_out))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels_new.agg(F.sum(label_out)).collect()[0][0]
+        labels = labels_new
+        if new_sum == prev_sum:  # monotone ⇒ fixed point reached
+            break
+        prev_sum = new_sum
+    return labels

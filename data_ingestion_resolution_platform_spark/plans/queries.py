@@ -600,6 +600,60 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard(docs, "text", "doc_id", threshold=0.5)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive duplicate CLUSTERS via distributed
+    hash-min connected components (`operators/graph.py`); docs with no
+    near-dup become their own singleton cluster. The oracle recomputes
+    the same components with a recursive transitive-closure CTE —
+    exact cross-engine agreement on (cluster id = min doc id of the
+    component, cluster size)."""
+    from data_ingestion_resolution_platform_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard(docs, "text", "doc_id", threshold=0.5)
+    cc = connected_components(pairs, "id_a", "id_b", id_out="doc_id")
+    labeled = (
+        docs.select("doc_id")
+        .join(cc, on="doc_id", how="left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "doc_id", "cluster_id", F.count("*").over(w).alias("cluster_size")
+    )
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS toks,
+         CAST(floor(length(text) / 100) AS INT) AS blk
+  FROM documents
+), pairs AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM d l JOIN d r ON l.blk = r.blk AND l.doc_id < r.doc_id
+  WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(l.toks, r.toks))) AS DOUBLE) >= 0.5
+), edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS t FROM pairs
+), reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.id, e.t FROM reach r JOIN edges e ON r.lab = e.s
+), lab AS (
+  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+)
+SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+"""
+
+
 SQL_NGRAM_JACCARD = """
 WITH d AS (
   SELECT doc_id,
@@ -1519,6 +1573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contacts_issues": q_contacts_issues,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_stats": q_token_stats,
@@ -1569,6 +1624,7 @@ ORACLES: dict[str, str] = {
     "contacts_issues": SQL_CONTACTS_ISSUES,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": _lang_sql(),
     "token_stats": SQL_TOKEN_STATS,

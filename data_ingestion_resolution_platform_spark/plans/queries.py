@@ -1296,6 +1296,64 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change-data-feed: replay the derived code feed into a
+    versioned lake table as TWO lsn-ranged MERGE epochs, then recover
+    what epoch 2 did via ``LakeTable.changelog`` (time-travel read of
+    both retained snapshots + one full-outer key diff — the Iceberg/
+    Delta CDF shape). The oracle rebuilds both snapshot states as pure
+    LWW SQL and diffs them with IS DISTINCT FROM."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.cdc import resolve_latest
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_table_changes_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    feed = _derived_code_feed(spark, sf_dir)
+    thr = feed.agg(F.max("lsn")).collect()[0][0] // 2
+    t = LakeTable(spark, root)
+    for e, part in enumerate(
+        [feed.filter(F.col("lsn") <= thr), feed.filter(F.col("lsn") > thr)], start=1
+    ):
+        batch = resolve_latest(part, ["repo", "path"], "lsn")
+        t.merge(batch, ["repo", "path"], epoch_id=e, delete_condition=F.col("op") == "D")
+    return t.changelog(1, 2, ["repo", "path"]).select(
+        "repo", "path", "change_type", "lsn", "op", "ts", "commit", "lang", "content"
+    )
+
+
+def _table_changes_sql() -> str:
+    cols = ["lsn", "op", "ts", '"commit"', "lang", "content"]
+    distinct = " OR ".join(f"(a.{c} IS DISTINCT FROM b.{c})" for c in cols)
+    pick = ",\n         ".join(
+        f"CASE WHEN b.repo IS NULL THEN a.{c} ELSE b.{c} END AS {c}" for c in cols
+    )
+    state = (
+        "SELECT repo, path, lsn, op, ts, \"commit\", lang, content FROM {w} WHERE rn = 1 AND op <> 'D'"
+    )
+    return f"""
+WITH feed AS ({_DERIVED_FEED_SQL}),
+w1 AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM feed WHERE lsn <= (SELECT CAST(floor(max(lsn) / 2) AS BIGINT) FROM feed)
+), s1 AS ({state.format(w='w1')}),
+w2 AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM feed
+), s2 AS ({state.format(w='w2')})
+SELECT coalesce(b.repo, a.repo) AS repo,
+       coalesce(b.path, a.path) AS path,
+       CASE WHEN a.repo IS NULL THEN 'insert'
+            WHEN b.repo IS NULL THEN 'delete'
+            ELSE 'update_postimage' END AS change_type,
+       {pick}
+FROM s1 a FULL JOIN s2 b ON a.repo = b.repo AND a.path = b.path
+WHERE a.repo IS NULL OR b.repo IS NULL OR {distinct}
+"""
+
+
 _FIRST_EXPR = (
     "CASE WHEN c_custkey % 4 = 0 THEN '  ann   marie ' "
     "WHEN c_custkey % 9 = 0 THEN '   ' ELSE 'ann' END"
@@ -1588,6 +1646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "pipeline_cdc_e2e": q_pipeline_cdc_e2e,
+    "table_changes": q_table_changes,
     "contacts_csv_ingest": q_contacts_csv_ingest,
     "corpus_prep": q_corpus_prep,
     "train_split": q_train_split,
@@ -1639,6 +1698,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "pipeline_cdc_e2e": SQL_PIPELINE_E2E,
+    "table_changes": _table_changes_sql(),
     "contacts_csv_ingest": SQL_CONTACTS_CSV,
     "ann_ivf": _ivf_sql(),
     "dedup_embedding": _emb_lsh_sql(),

@@ -37,6 +37,64 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def snapshot_diff(
+    before: DataFrame,
+    after: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Key-level change feed between two table snapshots (the Iceberg/
+    Delta CDF shape): one row per changed key with ``change_type`` in
+    ``insert`` / ``update_postimage`` / ``delete``, carrying the after-
+    image for inserts/updates and the before-image for deletes.
+
+    Plan shape: ONE full-outer shuffle join on the natural key, then
+    null-safe column comparison (``<=>``) — no window, no sort, no
+    driver-side state, so it scales with the snapshot size like any
+    equi-join (AQE handles skewed keys). ``compare_cols`` defaults to
+    every non-key column present in both snapshots; columns added by
+    schema evolution between the snapshots surface as updates only for
+    keys whose compared columns changed (pass them explicitly to treat
+    backfill as change).
+    """
+    key_list = list(keys)
+    shared = [c for c in after.columns if c in set(before.columns)]
+    compare = (
+        list(compare_cols)
+        if compare_cols is not None
+        else [c for c in shared if c not in key_list]
+    )
+    a = before.select(
+        *key_list,
+        F.lit(True).alias("_in_a"),
+        *[F.col(c).alias(f"_a_{c}") for c in compare],
+    )
+    b = after.select(
+        *key_list,
+        F.lit(True).alias("_in_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in compare],
+    )
+    j = a.join(b, on=key_list, how="full_outer")
+    changed = F.lit(False)
+    for c in compare:
+        changed = changed | ~(F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}")))
+    change_type = (
+        F.when(F.col("_in_a").isNull(), F.lit("insert"))
+        .when(F.col("_in_b").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update_postimage"))
+    )
+    out_vals = [
+        F.when(F.col("_in_b").isNull(), F.col(f"_a_{c}"))
+        .otherwise(F.col(f"_b_{c}"))
+        .alias(c)
+        for c in compare
+    ]
+    return (
+        j.select(*key_list, change_type.alias("change_type"), *out_vals)
+        .filter(F.col("change_type").isNotNull())
+    )
+
+
 class _EpochLedger:
     def __init__(self, root: str):
         self.dir = os.path.join(root, "_epochs")
@@ -122,17 +180,44 @@ class LakeTable:
             )
         return self.versions.current() > 0
 
-    def read(self) -> DataFrame:
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current snapshot, or time-travel to an older ``version`` if
+        it is still within the vacuum retention window (Iceberg
+        ``VERSION AS OF``)."""
         if self.append_only:
+            if version is not None:
+                raise ValueError("append-only tables are not versioned")
             if not self.exists():
                 raise FileNotFoundError(f"lake table {self.root} has no data")
             return self.spark.read.option("basePath", self._data_dir).parquet(
                 f"{self._data_dir}/*"
             )
-        v = self.versions.current()
+        v = self.versions.current() if version is None else version
         if v == 0:
             raise FileNotFoundError(f"lake table {self.root} has no committed version")
-        return self.spark.read.parquet(self.versions.dir_for(v))
+        d = self.versions.dir_for(v)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"version {v} of {self.root} is missing (vacuumed or never written)"
+            )
+        return self.spark.read.parquet(d)
+
+    def current_version(self) -> int:
+        return self.versions.current()
+
+    def changelog(
+        self,
+        v_from: int,
+        v_to: int,
+        keys: Sequence[str],
+        compare_cols: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Row-level diff between two retained snapshots — the engine's
+        change-data-feed: what a MERGE epoch (or several) did to the
+        table, recoverable after the fact. See :func:`snapshot_diff`."""
+        return snapshot_diff(
+            self.read(version=v_from), self.read(version=v_to), keys, compare_cols
+        )
 
     def epoch_committed(self, epoch_id: str | int) -> bool:
         return self.ledger.committed(epoch_id)

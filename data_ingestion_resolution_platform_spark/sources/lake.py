@@ -314,7 +314,17 @@ class LakeTable:
                 survivors = current.join(
                     F.broadcast(batch.select(*key_list)), on=key_list, how="left_anti"
                 )
-                merged = survivors.unionByName(upserts.select(*current.columns))
+                # schema evolution (add-column): target schema becomes the
+                # union of current and batch columns; survivors carry NULL
+                # for newly-added columns, batch rows NULL for columns the
+                # evolved feed no longer sends — Iceberg's add-column MERGE
+                # semantics without a rewrite of untouched history
+                all_cols = current.columns + [
+                    c for c in upserts.columns if c not in current.columns
+                ]
+                merged = survivors.unionByName(
+                    upserts, allowMissingColumns=True
+                ).select(*all_cols)
             else:
                 merged = upserts
             v = self.versions.current() + 1
@@ -442,7 +452,11 @@ class PartitionedLakeTable:
         paths = [self._bucket_dir(b, lv, d[(b, lv)]) for b, lv in live]
         if not paths:
             raise FileNotFoundError(f"partitioned lake table {self.root} has no data")
-        return self.spark.read.parquet(*paths)
+        # buckets evolve independently: a bucket untouched since before a
+        # schema-evolving epoch still holds old-schema files — mergeSchema
+        # unions them (added columns read as NULL), the parquet stand-in
+        # for Iceberg's metadata-layer schema resolution
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def merge(
         self,
@@ -483,12 +497,17 @@ class PartitionedLakeTable:
                 survivors = current.join(
                     F.broadcast(staged.select(*key_list)), on=key_list, how="left_anti"
                 )
-                merged = survivors.unionByName(upserts.select(*current.columns))
+                # add-column schema evolution, as in LakeTable.merge
+                merged = survivors.unionByName(upserts, allowMissingColumns=True)
+                out_cols = [c for c in batch.columns if c != rcol] + [
+                    c for c in current.columns if c not in batch.columns and c != rcol
+                ]
             else:
                 merged = upserts
-            # join(on=keys) reorders columns key-first; pin the batch's
+                out_cols = [c for c in batch.columns if c != rcol]
+            # join(on=keys) reorders columns key-first; pin a stable
             # column order so every bucket file shares one schema layout
-            merged = merged.select(*batch.columns, rcol)
+            merged = merged.select(*out_cols, rcol)
             # one staging write partitioned by residue; repartition on
             # the residue first so each residue is written by exactly one
             # task (~1 file per residue — file-count hygiene that keeps

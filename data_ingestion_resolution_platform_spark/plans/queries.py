@@ -1296,6 +1296,40 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_mor_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-READ ingest path: the same derived code feed applied as
+    three lsn-ranged epochs of O(batch) delta appends to a
+    ``MorLakeTable`` — with a compaction after epoch 2 so the read
+    crosses base + post-compaction deltas — then read back through the
+    broadcast-reconcile plan. Oracle: identical pure-SQL LWW collapse as
+    the COW pipeline (same final state, different physical strategy)."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.cdc import resolve_latest
+    from data_ingestion_resolution_platform_spark.sources.lake import MorLakeTable
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_mor_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    feed = _derived_code_feed(spark, sf_dir)
+    hi = feed.agg(F.max("lsn")).collect()[0][0]
+    cuts = [hi // 3, (2 * hi) // 3]
+    t = MorLakeTable(spark, root, keys=["repo", "path"], lsn_col="lsn")
+    parts = [
+        feed.filter(F.col("lsn") <= cuts[0]),
+        feed.filter((F.col("lsn") > cuts[0]) & (F.col("lsn") <= cuts[1])),
+        feed.filter(F.col("lsn") > cuts[1]),
+    ]
+    for e, part in enumerate(parts, start=1):
+        batch = resolve_latest(part, ["repo", "path"], "lsn")
+        t.merge(batch, epoch_id=e, delete_condition=F.col("op") == "D")
+        if e == 2:
+            t.compact()
+    return t.read().select(
+        "repo", "path", "lsn", "op", "ts", "commit", "lang", "content"
+    )
+
+
 def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot change-data-feed: replay the derived code feed into a
     versioned lake table as TWO lsn-ranged MERGE epochs, then recover
@@ -1646,6 +1680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "pipeline_cdc_e2e": q_pipeline_cdc_e2e,
+    "mor_merge_read": q_mor_merge_read,
     "table_changes": q_table_changes,
     "contacts_csv_ingest": q_contacts_csv_ingest,
     "corpus_prep": q_corpus_prep,
@@ -1698,6 +1733,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "pipeline_cdc_e2e": SQL_PIPELINE_E2E,
+    "mor_merge_read": SQL_PIPELINE_E2E,
     "table_changes": _table_changes_sql(),
     "contacts_csv_ingest": SQL_CONTACTS_CSV,
     "ann_ivf": _ivf_sql(),

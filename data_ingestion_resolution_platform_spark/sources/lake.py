@@ -343,6 +343,190 @@ class LakeTable:
         return stats
 
 
+class MorLakeTable:
+    """Merge-on-READ target table: each MERGE epoch appends one delta
+    file set — an **O(batch) write with zero target reads** — and the
+    read path reconciles base ∪ deltas. The third point in the COW
+    cost space next to ``LakeTable`` (full rewrite) and
+    ``PartitionedLakeTable`` (bucket-pruned rewrite): when epochs touch
+    most buckets (hot wide feeds), even pruned COW degenerates to
+    near-full rewrites, while MoR keeps ingest cost flat and shifts the
+    merge to reads + periodic compaction — Iceberg v2 equality-delete /
+    Delta deletion-vector semantics over plain parquet.
+
+    Read plan (scale-shaped): the base is NEVER shuffled — delta keys
+    (micro-batches, small between compactions) are broadcast; base rows
+    split into untouched (left-anti) and overlapping (left-semi); only
+    the overlap ∪ deltas goes through the LWW aggregation; winners union
+    back with the untouched base. Read cost grows with delta count, so
+    ``compact_every`` folds deltas into a new base version every K
+    epochs (amortized O(target/K) per epoch — tunable against write
+    amplification).
+
+    Layout::
+
+        root/
+          _epochs/...         # exactly-once epoch ledger
+          _MANIFEST           # atomic JSON: base version + live deltas
+          base/v=<n>/*.parquet
+          delta/d=<seq>/*.parquet   # carries _mor_seq + _mor_del cols
+
+    Crash safety: delta files land before the manifest flips; an orphan
+    delta dir (crash between write and manifest) is invisible and gets
+    overwritten deterministically on replay. Compaction writes the new
+    base fully before one atomic manifest replace retires the deltas.
+    """
+
+    SEQ = "_mor_seq"
+    DEL = "_mor_del"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        keys: Sequence[str],
+        lsn_col: str,
+        compact_every: int | None = None,
+    ):
+        self.spark = spark
+        self.root = root
+        self.keys = list(keys)
+        self.lsn_col = lsn_col
+        self.compact_every = compact_every
+        os.makedirs(root, exist_ok=True)
+        self.ledger = _EpochLedger(root)
+
+    # -- manifest --------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_MANIFEST")
+
+    def _read_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"base_v": 0, "deltas": [], "next_seq": 1}
+
+    def _write_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path)
+
+    def _base_dir(self, v: int) -> str:
+        return os.path.join(self.root, "base", f"v={v}")
+
+    def _delta_dir(self, seq: int) -> str:
+        return os.path.join(self.root, "delta", f"d={seq}")
+
+    def exists(self) -> bool:
+        m = self._read_manifest()
+        return m["base_v"] > 0 or bool(m["deltas"])
+
+    def epoch_committed(self, epoch_id: str | int) -> bool:
+        return self.ledger.committed(epoch_id)
+
+    def n_deltas(self) -> int:
+        return len(self._read_manifest()["deltas"])
+
+    # -- writes ----------------------------------------------------------
+    def merge(
+        self,
+        batch: DataFrame,
+        epoch_id: str | int | None = None,
+        delete_condition: F.Column | None = None,
+    ) -> dict:
+        """MERGE semantics deferred to read time: the key-unique batch
+        (tombstones flagged, not dropped) is appended as one delta."""
+        if epoch_id is not None and self.ledger.committed(epoch_id):
+            return {"skipped": True, "epoch": str(epoch_id)}
+        m = self._read_manifest()
+        seq = m["next_seq"]
+        flag = delete_condition if delete_condition is not None else F.lit(False)
+        out = batch.withColumn(self.SEQ, F.lit(seq)).withColumn(
+            self.DEL, F.coalesce(flag.cast("boolean"), F.lit(False))
+        )
+        out.write.mode("overwrite").parquet(self._delta_dir(seq))
+        m["deltas"] = sorted(set(m["deltas"]) | {seq})
+        m["next_seq"] = seq + 1
+        self._write_manifest(m)
+        stats = {"mode": "mor_merge", "delta_seq": seq, "n_deltas": len(m["deltas"])}
+        if epoch_id is not None:
+            self.ledger.record(epoch_id, stats)
+        if self.compact_every and len(m["deltas"]) >= self.compact_every:
+            stats["compacted"] = True
+            self.compact()
+        return stats
+
+    # -- reads -----------------------------------------------------------
+    def _deltas_df(self, m: dict) -> DataFrame | None:
+        paths = [self._delta_dir(s) for s in m["deltas"]]
+        if not paths:
+            return None
+        # deltas may carry evolved schemas — union them at read
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def read(self) -> DataFrame:
+        m = self._read_manifest()
+        if not self.exists():
+            raise FileNotFoundError(f"mor lake table {self.root} has no data")
+        deltas = self._deltas_df(m)
+        if m["base_v"] == 0:
+            base = None
+        else:
+            base = (
+                self.spark.read.parquet(self._base_dir(m["base_v"]))
+                .withColumn(self.SEQ, F.lit(0))
+                .withColumn(self.DEL, F.lit(False))
+            )
+        if deltas is None:
+            return base.drop(self.SEQ, self.DEL)
+        if base is None:
+            combined = deltas
+            untouched = None
+        else:
+            dkeys = deltas.select(*self.keys).distinct()
+            untouched = base.join(F.broadcast(dkeys), on=self.keys, how="left_anti")
+            overlap = base.join(F.broadcast(dkeys), on=self.keys, how="left_semi")
+            combined = overlap.unionByName(deltas, allowMissingColumns=True)
+        from data_ingestion_resolution_platform_spark.operators.cdc import resolve_latest
+
+        winners = resolve_latest(
+            combined, self.keys, self.SEQ, tie_breakers=(self.lsn_col,)
+        ).filter(~F.col(self.DEL))
+        if untouched is not None:
+            winners = untouched.unionByName(winners, allowMissingColumns=True)
+        # pin survivor-first column order (evolution appends new cols)
+        cols = [c for c in winners.columns if c not in (self.SEQ, self.DEL)]
+        return winners.select(*cols)
+
+    # -- maintenance -----------------------------------------------------
+    def compact(self, epoch_id: str | int | None = None) -> dict:
+        """Fold live deltas into a new base version; one atomic manifest
+        replace retires them. Content-idempotent (replaying a crashed
+        compaction converges), optionally ledgered."""
+        if epoch_id is not None and self.ledger.committed(epoch_id):
+            return {"skipped": True, "epoch": str(epoch_id)}
+        m = self._read_manifest()
+        if not m["deltas"]:
+            return {"mode": "compact", "noop": True}
+        snapshot = self.read()
+        v = m["base_v"] + 1
+        snapshot.write.mode("overwrite").parquet(self._base_dir(v))
+        retired = m["deltas"]
+        new_m = {"base_v": v, "deltas": [], "next_seq": m["next_seq"]}
+        self._write_manifest(new_m)
+        for s in retired:
+            shutil.rmtree(self._delta_dir(s), ignore_errors=True)
+        if m["base_v"] > 0:
+            shutil.rmtree(self._base_dir(m["base_v"]), ignore_errors=True)
+        stats = {"mode": "compact", "base_v": v, "retired_deltas": len(retired)}
+        if epoch_id is not None:
+            self.ledger.record(epoch_id, stats)
+        return stats
+
+
 class PartitionedLakeTable:
     """Hash-bucketed target table with LINEAR-HASHING growth: MERGE
     touches only dirty buckets, and buckets that outgrow

@@ -253,6 +253,73 @@ def run_growth_sweep(parallelism: int, adaptive: bool) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_growth_sweep_mor(parallelism: int) -> dict:
+    """Merge-on-read arm of the growth sweep: the same insert-growth +
+    single-repo-update schedule as :func:`run_growth_sweep`, but the
+    target is a ``MorLakeTable`` — each epoch is an O(batch) delta
+    append regardless of target size, with ONE timed compaction at the
+    end of the growth phase. Reports the read-back time too, because
+    MoR's bargain is cheap ingest for a reconcile-at-read cost."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_resolution_platform_spark.session import get_spark
+    from data_ingestion_resolution_platform_spark.sources.lake import MorLakeTable
+
+    spark = get_spark("bench_growth_mor", parallelism=parallelism)
+    wh = tempfile.mkdtemp(
+        prefix="bench_growth_mor_", dir=os.environ.get("SPARK_GRAFT_BENCH_DIR") or None
+    )
+    rows_per_epoch = int(os.environ.get("SPARK_GRAFT_GROWTH_ROWS", "400000"))
+    repos_per_epoch = 16
+    grow_epochs = int(os.environ.get("SPARK_GRAFT_GROWTH_EPOCHS", "14"))
+    update_epochs = 4
+
+    def batch(epoch: int, repo_lo: int, n_repos: int, n_rows: int, update: bool):
+        sha = F.sha2((F.col("id") + epoch * 10_000_000).cast("string"), 256)
+        return spark.range(n_rows).select(
+            (F.col("id") + epoch * 10_000_000).alias("lsn"),
+            F.lit("U" if update else "I").alias("op"),
+            F.concat(
+                F.lit("repo_"), (repo_lo + F.pmod(F.col("id"), F.lit(n_repos))).cast("string")
+            ).alias("repo"),
+            F.concat(F.lit("src/f"), F.pmod(F.col("id"), F.lit(n_rows)).cast("string"), F.lit(".py")).alias("path"),
+            F.concat(sha, sha, sha).alias("content"),
+        )
+
+    tbl = MorLakeTable(spark, os.path.join(wh, "t"), keys=["repo", "path"], lsn_col="lsn")
+    grow_secs, upd_secs = [], []
+    try:
+        for e in range(grow_epochs):
+            t0 = time.time()
+            tbl.merge(batch(e, repo_lo=e * repos_per_epoch, n_repos=repos_per_epoch,
+                            n_rows=rows_per_epoch, update=False), epoch_id=e)
+            grow_secs.append(round(time.time() - t0, 3))
+        t0 = time.time()
+        tbl.compact()
+        compact_sec = round(time.time() - t0, 3)
+        total_rows = tbl.read().count()
+        for e in range(update_epochs):
+            t0 = time.time()
+            tbl.merge(batch(100 + e, repo_lo=e * repos_per_epoch, n_repos=1,
+                            n_rows=5000, update=True), epoch_id=100 + e)
+            upd_secs.append(round(time.time() - t0, 3))
+        t0 = time.time()
+        tbl.read().count()
+        read_with_deltas_sec = round(time.time() - t0, 3)
+        return {
+            "rows_per_epoch": rows_per_epoch,
+            "final_rows": total_rows,
+            "grow_epoch_secs": grow_secs,
+            "compact_sec": compact_sec,
+            "single_repo_update_secs": upd_secs,
+            "read_with_4_deltas_sec": read_with_deltas_sec,
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def hw_scaling_probe(n: int, n4: int, seconds: float = 10.0) -> dict:
     """Framework-free CPU-scaling ceiling of THIS host: parallel sha256
     loops via multiprocessing (no JVM, no shuffle, no allocation churn).
@@ -435,6 +502,7 @@ def main() -> None:
             "metric": "merge_cost_vs_target_growth",
             "adaptive": run_growth_sweep(cpus, adaptive=True),
             "fixed": run_growth_sweep(cpus, adaptive=False),
+            "mor": run_growth_sweep_mor(cpus),
         }
         print(json.dumps(out))
         return

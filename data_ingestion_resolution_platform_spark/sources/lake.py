@@ -434,11 +434,18 @@ class MorLakeTable:
     def merge(
         self,
         batch: DataFrame,
+        keys: Sequence[str] | None = None,
         epoch_id: str | int | None = None,
         delete_condition: F.Column | None = None,
     ) -> dict:
         """MERGE semantics deferred to read time: the key-unique batch
-        (tombstones flagged, not dropped) is appended as one delta."""
+        (tombstones flagged, not dropped) is appended as one delta.
+
+        ``keys`` is accepted for call-shape parity with the COW tables
+        (the pipeline swaps targets without branching) but must match
+        the table's configured key."""
+        if keys is not None and list(keys) != self.keys:
+            raise ValueError(f"merge keys {list(keys)} != table keys {self.keys}")
         if epoch_id is not None and self.ledger.committed(epoch_id):
             return {"skipped": True, "epoch": str(epoch_id)}
         m = self._read_manifest()
@@ -585,6 +592,35 @@ class PartitionedLakeTable:
     def _dir_path(self) -> str:
         return os.path.join(self.root, "_DIR")
 
+    @property
+    def _schema_path(self) -> str:
+        return os.path.join(self.root, "_SCHEMA")
+
+    def _read_schema(self):
+        try:
+            with open(self._schema_path) as f:
+                from pyspark.sql import types as T
+
+                return T.StructType.fromJson(json.load(f))
+        except FileNotFoundError:
+            return None
+
+    def _write_schema(self, schema) -> None:
+        # union with the saved schema: an epoch touching only fresh
+        # buckets must not narrow the table schema for untouched ones
+        saved = self._read_schema()
+        if saved is not None:
+            from pyspark.sql import types as T
+
+            names = {f.name for f in schema.fields}
+            schema = T.StructType(
+                list(schema.fields) + [f for f in saved.fields if f.name not in names]
+            )
+        tmp = self._schema_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(schema.jsonValue(), f)
+        os.replace(tmp, self._schema_path)
+
     def _read_dir(self) -> dict[tuple[int, int], int]:
         """{(bucket, level): version}; version 0 = live but empty."""
         try:
@@ -637,9 +673,16 @@ class PartitionedLakeTable:
         if not paths:
             raise FileNotFoundError(f"partitioned lake table {self.root} has no data")
         # buckets evolve independently: a bucket untouched since before a
-        # schema-evolving epoch still holds old-schema files — mergeSchema
-        # unions them (added columns read as NULL), the parquet stand-in
-        # for Iceberg's metadata-layer schema resolution
+        # schema-evolving epoch still holds old-schema files. Iceberg
+        # resolves this in the METADATA layer; our stand-in is a saved
+        # unified schema (updated at every merge commit) passed to the
+        # reader explicitly — parquet clips each file against it and
+        # NULL-fills absent columns, with no per-read footer merging
+        # (``mergeSchema`` re-reads every live footer per read and was
+        # measured 3-5x slower per epoch on a 135-bucket target).
+        saved = self._read_schema()
+        if saved is not None:
+            return self.spark.read.schema(saved).parquet(*paths)
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def merge(
@@ -692,6 +735,7 @@ class PartitionedLakeTable:
             # join(on=keys) reorders columns key-first; pin a stable
             # column order so every bucket file shares one schema layout
             merged = merged.select(*out_cols, rcol)
+            out_schema = merged.drop(rcol).schema
             # one staging write partitioned by residue; repartition on
             # the residue first so each residue is written by exactly one
             # task (~1 file per residue — file-count hygiene that keeps
@@ -760,7 +804,10 @@ class PartitionedLakeTable:
             else:
                 if commit_version(b, lv, residues, new_dir):
                     n_written += 1
-        # single atomic flip of every touched bucket
+        # persist the (possibly evolved) unified schema, then one atomic
+        # flip of every touched bucket. A crash in between leaves a
+        # schema that is a superset of the files — reads NULL-fill.
+        self._write_schema(out_schema)
         self._write_dir(new_dir)
         # vacuum: drop superseded version dirs and retired parents
         for (b, lv), v in list(d.items()):

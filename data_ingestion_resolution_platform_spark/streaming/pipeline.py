@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 from data_ingestion_resolution_platform_spark.functions.hashing import content_sha256
 from data_ingestion_resolution_platform_spark.operators.cdc import resolve_and_detect
 from data_ingestion_resolution_platform_spark.sources.feed import CHANGE_FEED_SCHEMA
-from data_ingestion_resolution_platform_spark.sources.lake import LakeTable, PartitionedLakeTable
+from data_ingestion_resolution_platform_spark.sources.lake import (
+    LakeTable,
+    MorLakeTable,
+    PartitionedLakeTable,
+)
 from data_ingestion_resolution_platform_spark.streaming.lineage import epoch_summary, lineage_rows
 from data_ingestion_resolution_platform_spark.streaming.schema_evolution import reconcile_exprs
 
@@ -53,19 +57,37 @@ class CDCPipeline:
     renames: dict = field(default_factory=dict)
     n_buckets: int = 32
     max_bucket_bytes: int = 256 << 20
+    # "cow": bucket-pruned copy-on-write rewrite (read-optimized).
+    # "mor": merge-on-read delta appends + periodic compaction
+    # (ingest-optimized — O(batch) epoch cost even when every epoch
+    # touches every bucket).
+    target_mode: str = "cow"
+    compact_every: int | None = 8
 
     def __post_init__(self) -> None:
-        # target: hash-bucketed on the leading natural key → MERGE only
-        # rewrites touched buckets (Iceberg bucket(N, repo) analogue);
-        # buckets that outgrow max_bucket_bytes split linear-hashing
-        # style so the bucket count tracks target size as it grows 100x
-        self.target = PartitionedLakeTable(
-            self.spark,
-            os.path.join(self.warehouse, "target"),
-            bucket_keys=[self.keys[0]],
-            n_buckets=self.n_buckets,
-            max_bucket_bytes=self.max_bucket_bytes,
-        )
+        if self.target_mode == "cow":
+            # target: hash-bucketed on the leading natural key → MERGE
+            # only rewrites touched buckets (Iceberg bucket(N, repo)
+            # analogue); buckets that outgrow max_bucket_bytes split
+            # linear-hashing style so the bucket count tracks target
+            # size as it grows 100x
+            self.target = PartitionedLakeTable(
+                self.spark,
+                os.path.join(self.warehouse, "target"),
+                bucket_keys=[self.keys[0]],
+                n_buckets=self.n_buckets,
+                max_bucket_bytes=self.max_bucket_bytes,
+            )
+        elif self.target_mode == "mor":
+            self.target = MorLakeTable(
+                self.spark,
+                os.path.join(self.warehouse, "target"),
+                keys=list(self.keys),
+                lsn_col=self.lsn_col,
+                compact_every=self.compact_every,
+            )
+        else:
+            raise ValueError(f"unknown target_mode {self.target_mode!r} (cow|mor)")
         # conflicts/lineage are audit streams → append-only layout,
         # O(batch) writes, no rewrite of history
         self.conflicts = LakeTable(

@@ -79,6 +79,26 @@ def test_mor_auto_compact_every(spark, tmp_path):
     assert _state(mor.read()) == _state(oneshot)
 
 
+def test_pipeline_mor_target_equals_cow_target(spark, tmp_path):
+    from data_ingestion_resolution_platform_spark.streaming.pipeline import CDCPipeline
+
+    feed = synth_change_feed(spark, 5000, n_repos=12, seed=17)
+    cow = CDCPipeline(spark, feed_dir="unused", warehouse=str(tmp_path / "cow"))
+    mor = CDCPipeline(
+        spark,
+        feed_dir="unused",
+        warehouse=str(tmp_path / "mor"),
+        target_mode="mor",
+        compact_every=2,
+    )
+    cow.replay_bounded(feed, epochs=3)
+    mor.replay_bounded(feed, epochs=3)
+    a, b = cow.target.read(), mor.target.read()
+    cols = sorted(set(a.columns) & set(b.columns))
+    assert a.select(*cols).exceptAll(b.select(*cols)).count() == 0
+    assert b.select(*cols).exceptAll(a.select(*cols)).count() == 0
+
+
 def test_mor_schema_evolution_across_deltas(spark, tmp_path):
     mor = MorLakeTable(spark, str(tmp_path / "m"), keys=["k"], lsn_col="lsn")
     mor.merge(spark.createDataFrame([("a", 1, "x")], "k string, lsn long, v string"), epoch_id=1)

@@ -390,6 +390,59 @@ def open_conflicts(
     )
 
 
+def merge_conflict_state(
+    table,
+    detected: DataFrame,
+    resolutions: DataFrame | None,
+    keys: Sequence[str],
+    epoch: int,
+    epoch_id: str | int | None = None,
+) -> dict:
+    """Materialized open-conflict state as a MERGE-keyed table — the
+    reference's conflict upsert + don't-reopen-resolved rules
+    (`worker.py:108-110,124-127`, M1-M3) applied as ONE MERGE per epoch,
+    so "what is open right now" is a plain filtered read of current
+    state instead of a latest-per-key scan over an ever-growing append
+    log (:func:`open_conflicts`, kept as the audit-trail variant).
+
+    Per epoch:
+    - detection of an untracked key      ⇒ INSERT as ``OPEN``
+    - re-detection of an ``OPEN`` key    ⇒ UPDATE (payload refresh)
+    - re-detection of a ``RESOLVED`` key ⇒ ignored (don't reopen)
+    - resolution                         ⇒ UPDATE to ``RESOLVED``
+      (kept, not deleted — the tombstone-free row IS the memory that
+      makes don't-reopen durable; wins over same-epoch re-detection)
+
+    Scale shape: the epoch's detected/resolved sets are small by
+    definition; the only join against the (potentially large) state
+    table is a left-anti on its key-projected RESOLVED subset —
+    columns pruned at the scan, AQE picks the build side. Exactly-once
+    via the table's epoch ledger like every other MERGE.
+    """
+    det = detected.withColumn("status", F.lit("OPEN")).withColumn(
+        "epoch", F.lit(epoch).cast("long")
+    )
+    if resolutions is not None:
+        res_keys = resolutions.select(*keys).distinct()
+        det = det.join(F.broadcast(res_keys), on=list(keys), how="left_anti")
+        res_rows = res_keys.withColumn("status", F.lit("RESOLVED")).withColumn(
+            "epoch", F.lit(epoch).cast("long")
+        )
+        batch = det.unionByName(res_rows, allowMissingColumns=True)
+    else:
+        batch = det
+    if table.exists():
+        already_resolved = (
+            table.read().filter(F.col("status") == "RESOLVED").select(*keys)
+        )
+        batch = batch.filter(F.col("status") == "RESOLVED").unionByName(
+            batch.filter(F.col("status") == "OPEN").join(
+                already_resolved, on=list(keys), how="left_anti"
+            )
+        )
+    return table.merge(batch, keys, epoch_id=epoch_id)
+
+
 def normalize_contacts(df: DataFrame) -> DataFrame:
     """The reference's per-row pipeline (P1-P6, `worker.py:286-374`) as
     one projection: adds normalized/cleaned columns, identity signature,

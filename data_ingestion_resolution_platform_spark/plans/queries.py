@@ -1296,6 +1296,87 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_conflict_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M3 as a driver-gated query: three lsn-ranged epochs of
+    conflict detection over the derived code feed maintain a
+    MERGE-keyed conflict-state table (insert OPEN / refresh OPEN /
+    don't-reopen-RESOLVED), with deterministic 'human' resolutions at
+    epoch 2 (open keys with an even path index). The oracle replays the
+    same state machine in pure SQL."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.cdc import (
+        merge_conflict_state,
+    )
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_confstate_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    feed = _derived_code_feed(spark, sf_dir)
+    hi = feed.agg(F.max("lsn")).collect()[0][0]
+    t1, t2 = hi // 3, (2 * hi) // 3
+    parts = [
+        feed.filter(F.col("lsn") <= t1),
+        feed.filter((F.col("lsn") > t1) & (F.col("lsn") <= t2)),
+        feed.filter(F.col("lsn") > t2),
+    ]
+    sig = F.struct(F.col("lang"), F.sha2(F.col("content"), 256).alias("sha"))
+    keys = ["repo", "path"]
+    t = LakeTable(spark, root)
+    for e, part in enumerate(parts, start=1):
+        det = detect_conflicts(part, keys, sig, "lsn", include_candidates=False)
+        res = None
+        if e == 2:
+            res = (
+                t.read()
+                .filter(F.col("status") == "OPEN")
+                .filter(
+                    F.pmod(
+                        F.regexp_extract(F.col("path"), r"f(\d+)", 1).cast("int"),
+                        F.lit(2),
+                    )
+                    == 0
+                )
+                .select(*keys)
+            )
+        merge_conflict_state(t, det, res, keys, epoch=e, epoch_id=e)
+    return t.read().select("repo", "path", "n_signatures", "n_rows", "status", "epoch")
+
+
+SQL_CONFLICT_STATE = f"""
+WITH feed AS ({_DERIVED_FEED_SQL}),
+hi AS (SELECT max(lsn) AS h FROM feed),
+b AS (
+  SELECT f.*, CASE WHEN f.lsn <= CAST(floor(h / 3) AS BIGINT) THEN 1
+                   WHEN f.lsn <= CAST(floor(2 * h / 3) AS BIGINT) THEN 2
+                   ELSE 3 END AS epoch
+  FROM feed f, hi
+),
+det AS (
+  SELECT repo, path, epoch,
+         CAST(count(DISTINCT lang || '|' || sha256(content)) AS BIGINT) AS n_signatures,
+         count(*) AS n_rows
+  FROM b GROUP BY repo, path, epoch
+  HAVING count(DISTINCT lang || '|' || sha256(content)) > 1
+),
+resolved AS (
+  SELECT repo, path FROM det
+  WHERE epoch = 1 AND CAST(regexp_extract(path, 'f(\\d+)', 1) AS INT) % 2 = 0
+),
+open_rows AS (
+  SELECT d.*, row_number() OVER (PARTITION BY d.repo, d.path ORDER BY d.epoch DESC) AS rn
+  FROM det d ANTI JOIN resolved r ON d.repo = r.repo AND d.path = r.path
+)
+SELECT repo, path, n_signatures, n_rows, 'OPEN' AS status, CAST(epoch AS BIGINT) AS epoch
+FROM open_rows WHERE rn = 1
+UNION ALL
+SELECT repo, path, CAST(NULL AS BIGINT) AS n_signatures, CAST(NULL AS BIGINT) AS n_rows,
+       'RESOLVED' AS status, CAST(2 AS BIGINT) AS epoch
+FROM resolved
+"""
+
+
 def q_mor_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-READ ingest path: the same derived code feed applied as
     three lsn-ranged epochs of O(batch) delta appends to a
@@ -1648,6 +1729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_conflicts": q_cdc_conflicts,
     "cdc_with_choices": q_cdc_with_choices,
     "cdc_lineage_stats": q_cdc_lineage_stats,
+    "cdc_conflict_state": q_cdc_conflict_state,
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "semi_join_customers": q_semi_join_customers,
@@ -1699,6 +1781,7 @@ ORACLES: dict[str, str] = {
     "cdc_conflicts": SQL_CDC_CONFLICTS,
     "cdc_with_choices": SQL_CDC_CHOICES,
     "cdc_lineage_stats": SQL_CDC_LINEAGE,
+    "cdc_conflict_state": SQL_CONFLICT_STATE,
     "pricing_summary": SQL_PRICING,
     "shipping_priority": SQL_SHIPPING,
     "semi_join_customers": SQL_SEMI,

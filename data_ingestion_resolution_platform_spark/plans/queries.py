@@ -1411,20 +1411,14 @@ def q_mor_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot change-data-feed: replay the derived code feed into a
-    versioned lake table as TWO lsn-ranged MERGE epochs, then recover
-    what epoch 2 did via ``LakeTable.changelog`` (time-travel read of
-    both retained snapshots + one full-outer key diff — the Iceberg/
-    Delta CDF shape). The oracle rebuilds both snapshot states as pure
-    LWW SQL and diffs them with IS DISTINCT FROM."""
+def _two_epoch_code_lake(spark: SparkSession, sf_dir: str, root: str):
+    """Derived code feed → versioned lake table via TWO lsn-ranged
+    MERGE epochs (shared by the CDF queries)."""
     import shutil
 
     from data_ingestion_resolution_platform_spark.operators.cdc import resolve_latest
     from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    root = f"/tmp/dirp_table_changes_{tag}"
     shutil.rmtree(root, ignore_errors=True)
     feed = _derived_code_feed(spark, sf_dir)
     thr = feed.agg(F.max("lsn")).collect()[0][0] // 2
@@ -1434,8 +1428,48 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         batch = resolve_latest(part, ["repo", "path"], "lsn")
         t.merge(batch, ["repo", "path"], epoch_id=e, delete_condition=F.col("op") == "D")
+    return t
+
+
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change-data-feed: replay the derived code feed into a
+    versioned lake table as TWO lsn-ranged MERGE epochs, then recover
+    what epoch 2 did via ``LakeTable.changelog`` (time-travel read of
+    both retained snapshots + one full-outer key diff — the Iceberg/
+    Delta CDF shape). The oracle rebuilds both snapshot states as pure
+    LWW SQL and diffs them with IS DISTINCT FROM."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    t = _two_epoch_code_lake(spark, sf_dir, f"/tmp/dirp_table_changes_{tag}")
     return t.changelog(1, 2, ["repo", "path"]).select(
         "repo", "path", "change_type", "lsn", "op", "ts", "commit", "lang", "content"
+    )
+
+
+def q_cdf_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF consumption round-trip: seed a downstream replica from the
+    source's v1 snapshot, apply ONLY the v1→v2 changelog
+    (``apply_changelog``: upsert after-images, delete tombstones, the
+    change_type marker stays out of the replica schema) — the replica
+    must converge to exactly the source's v2 state, which the oracle
+    computes as the pure-SQL LWW collapse of the whole feed."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.sources.lake import (
+        LakeTable,
+        apply_changelog,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = _two_epoch_code_lake(spark, sf_dir, f"/tmp/dirp_cdf_src_{tag}")
+    rep_root = f"/tmp/dirp_cdf_replica_{tag}"
+    shutil.rmtree(rep_root, ignore_errors=True)
+    replica = LakeTable(spark, rep_root)
+    replica.merge(src.read(version=1), ["repo", "path"], epoch_id="seed_v1")
+    apply_changelog(
+        replica, src.changelog(1, 2, ["repo", "path"]), ["repo", "path"], epoch_id="cdf_v2"
+    )
+    return replica.read().select(
+        "repo", "path", "lsn", "op", "ts", "commit", "lang", "content"
     )
 
 
@@ -1764,6 +1798,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_cdc_e2e": q_pipeline_cdc_e2e,
     "mor_merge_read": q_mor_merge_read,
     "table_changes": q_table_changes,
+    "cdf_replication": q_cdf_replication,
     "contacts_csv_ingest": q_contacts_csv_ingest,
     "corpus_prep": q_corpus_prep,
     "train_split": q_train_split,
@@ -1818,6 +1853,7 @@ ORACLES: dict[str, str] = {
     "pipeline_cdc_e2e": SQL_PIPELINE_E2E,
     "mor_merge_read": SQL_PIPELINE_E2E,
     "table_changes": _table_changes_sql(),
+    "cdf_replication": SQL_PIPELINE_E2E,
     "contacts_csv_ingest": SQL_CONTACTS_CSV,
     "ann_ivf": _ivf_sql(),
     "dedup_embedding": _emb_lsh_sql(),

@@ -95,6 +95,28 @@ def snapshot_diff(
     )
 
 
+def apply_changelog(
+    table: "LakeTable",
+    changes: DataFrame,
+    keys: Sequence[str],
+    epoch_id: str | int | None = None,
+) -> dict:
+    """Consume a :func:`snapshot_diff` changelog on a downstream
+    replica: inserts/updates upsert the after-image, deletes remove the
+    key, and the ``change_type`` marker never enters the replica's
+    schema. Applying the changelog of (v_from → v_to) to a replica at
+    v_from converges it to v_to exactly — incremental downstream
+    replication instead of full-snapshot copies, with the same
+    exactly-once epoch ledger as every other MERGE."""
+    return table.merge(
+        changes,
+        keys,
+        epoch_id=epoch_id,
+        delete_condition=F.col("change_type") == "delete",
+        drop_cols=("change_type",),
+    )
+
+
 class _EpochLedger:
     def __init__(self, root: str):
         self.dir = os.path.join(root, "_epochs")
@@ -278,6 +300,7 @@ class LakeTable:
         epoch_id: str | int | None = None,
         delete_condition: F.Column | None = None,
         collect_stats: bool = False,
+        drop_cols: Sequence[str] = (),
     ) -> dict:
         """MERGE INTO this USING batch ON keys (COW rewrite).
 
@@ -309,6 +332,10 @@ class LakeTable:
             upserts = (
                 batch.filter(~delete_condition) if delete_condition is not None else batch
             )
+            if drop_cols:
+                # marker columns (e.g. a changelog's change_type) steer the
+                # WHEN clauses but must not evolve into the target schema
+                upserts = upserts.drop(*drop_cols)
             if self.exists():
                 current = self.read()
                 survivors = current.join(

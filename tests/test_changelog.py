@@ -60,6 +60,25 @@ def test_time_travel_reads_old_snapshot(spark, tmp_path):
         t.read(version=9)
 
 
+def test_apply_changelog_converges_replica(spark, tmp_path):
+    from data_ingestion_resolution_platform_spark.sources.lake import apply_changelog
+
+    src = _mk(spark, tmp_path)
+    replica = LakeTable(spark, str(tmp_path / "rep"))
+    replica.merge(src.read(version=1), ["repo", "path"], epoch_id="seed")
+    apply_changelog(
+        replica, src.changelog(1, 2, ["repo", "path"]), ["repo", "path"], epoch_id="v2"
+    )
+    a, b = replica.read(), src.read()
+    assert sorted(a.columns) == sorted(b.columns)  # no change_type leak
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # re-delivery of the changelog epoch is a no-op
+    out = apply_changelog(
+        replica, src.changelog(1, 2, ["repo", "path"]), ["repo", "path"], epoch_id="v2"
+    )
+    assert out.get("skipped") is True
+
+
 def test_snapshot_diff_null_safe_compare(spark, tmp_path):
     before = spark.createDataFrame(
         [("k1", None), ("k2", "x")], "k string, v string"

@@ -1753,6 +1753,47 @@ SELECT * FROM img_feat UNION ALL SELECT * FROM aud_feat
 """
 
 
+def q_lake_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-style data skipping under the driver gate: load the
+    events table into a lake table range-clustered on ``ts`` (16 files,
+    Iceberg write sort order), then answer a time+value-ranged
+    aggregation through ``LakeTable.scan`` — footer min/max stats prune
+    the files outside the week driver-side, survivors get the residual
+    filter (``sources/skipping.py``). The oracle is the same predicate
+    over the raw events view, so the value-hash proves pruning never
+    changes results."""
+    import datetime as dt
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_prune_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    t = LakeTable(spark, root)
+    t.overwrite(ev.repartitionByRange(16, "ts"))
+    lo, hi = dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 15)
+    scanned = t.scan([("ts", "between", (lo, hi)), ("value", ">=", 10.0)])
+    return scanned.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+SQL_PRUNE_SCAN = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       min(event_id) AS min_event_id, max(event_id) AS max_event_id
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08' AND ts <= TIMESTAMP '2024-01-15'
+  AND value >= 10.0
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1804,6 +1845,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_split": q_train_split,
     "dedup_embedding": q_dedup_embedding,
     "ann_ivf": q_ann_ivf,
+    "lake_prune_scan": q_lake_prune_scan,
     # rows-only (non-SQL-expressible: Arrow pandas-UDF plumbing)
     "multimodal_features": q_multimodal_features,
     # real PPM/WAV decode — oracled via closed-form feature arithmetic
@@ -1857,6 +1899,7 @@ ORACLES: dict[str, str] = {
     "contacts_csv_ingest": SQL_CONTACTS_CSV,
     "ann_ivf": _ivf_sql(),
     "dedup_embedding": _emb_lsh_sql(),
+    "lake_prune_scan": SQL_PRUNE_SCAN,
     "corpus_prep": _corpus_prep_sql(),
     "train_split": SQL_TRAIN_SPLIT,
     "media_decode": SQL_MEDIA_DECODE,

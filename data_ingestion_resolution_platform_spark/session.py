@@ -79,6 +79,11 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # write timestamps as TIMESTAMP_MICROS, not the legacy INT96:
+        # INT96 columns carry NO parquet min/max statistics, which
+        # blinds both row-group pushdown and the manifest-style file
+        # pruning in sources/skipping.py (and Iceberg forbids INT96)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -227,6 +227,29 @@ class LakeTable:
     def current_version(self) -> int:
         return self.versions.current()
 
+    def scan(self, predicates: Sequence[tuple]) -> DataFrame:
+        """Stats-pruned predicate scan (Iceberg manifest skipping, see
+        ``sources/skipping.py``): files whose footer min/max bounds
+        cannot satisfy the conjunction are never opened; survivors get
+        the full predicate as a residual filter, so results are always
+        identical to ``read().filter(...)``. The planning report of the
+        most recent scan is kept on ``self.last_scan_report``."""
+        from data_ingestion_resolution_platform_spark.sources.skipping import pruned_scan
+
+        if self.append_only:
+            dirs = [
+                os.path.join(self._data_dir, n)
+                for n in sorted(os.listdir(self._data_dir))
+                if not n.startswith("_")
+            ] if os.path.isdir(self._data_dir) else []
+        else:
+            v = self.versions.current()
+            if v == 0:
+                raise FileNotFoundError(f"lake table {self.root} has no committed version")
+            dirs = [self.versions.dir_for(v)]
+        df, self.last_scan_report = pruned_scan(self.spark, self.root, dirs, predicates)
+        return df
+
     def changelog(
         self,
         v_from: int,
@@ -603,10 +626,15 @@ class PartitionedLakeTable:
         bucket_keys: Sequence[str],
         n_buckets: int = 32,
         max_bucket_bytes: int = 256 << 20,
+        sort_within: Sequence[str] | None = None,
     ):
         self.spark = spark
         self.root = root
         self.bucket_keys = list(bucket_keys)
+        # cluster rows inside each staged bucket file (Iceberg write
+        # sort order): tight per-file min/max on these columns makes
+        # scan() pruning effective on range predicates
+        self.sort_within = list(sort_within) if sort_within else []
         # initial level: smallest power of two covering n_buckets
         self.initial_level = max(0, (int(n_buckets) - 1).bit_length())
         self.n_buckets = 1 << self.initial_level
@@ -712,6 +740,25 @@ class PartitionedLakeTable:
             return self.spark.read.schema(saved).parquet(*paths)
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def scan(self, predicates: Sequence[tuple]) -> DataFrame:
+        """Stats-pruned predicate scan over the live buckets (see
+        ``LakeTable.scan``). Composes with the hash-bucket layout:
+        bucket dirs whose files' footer bounds exclude the predicate
+        are planned away driver-side — with ``sort_within`` clustering
+        a time/LSN column, a time-ranged scan over a grown target opens
+        only the files that can contain the range. Results always equal
+        ``read().filter(...)``; report on ``self.last_scan_report``."""
+        from data_ingestion_resolution_platform_spark.sources.skipping import pruned_scan
+
+        d = self._read_dir()
+        dirs = [self._bucket_dir(b, lv, v) for (b, lv), v in d.items() if v > 0]
+        if not dirs:
+            raise FileNotFoundError(f"partitioned lake table {self.root} has no data")
+        df, self.last_scan_report = pruned_scan(
+            self.spark, self.root, dirs, predicates, schema=self._read_schema()
+        )
+        return df
+
     def merge(
         self,
         batch: DataFrame,
@@ -772,9 +819,10 @@ class PartitionedLakeTable:
             )
             shutil.rmtree(staging, ignore_errors=True)
             n_tasks = max(1, min(len(touched_res), self.spark.sparkContext.defaultParallelism))
-            merged.repartition(n_tasks, F.col(rcol)).write.mode("overwrite").partitionBy(
-                rcol
-            ).parquet(staging)
+            staged_out = merged.repartition(n_tasks, F.col(rcol))
+            if self.sort_within:
+                staged_out = staged_out.sortWithinPartitions(rcol, *self.sort_within)
+            staged_out.write.mode("overwrite").partitionBy(rcol).parquet(staging)
         finally:
             staged.unpersist()
 

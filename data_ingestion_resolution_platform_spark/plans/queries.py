@@ -1753,6 +1753,71 @@ SELECT * FROM img_feat UNION ALL SELECT * FROM aud_feat
 """
 
 
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's schema-evolution clause under the driver gate:
+    epoch 1 merges the canonical feed; epoch 2 arrives DRIFTED — ``lang``
+    renamed to ``language``, ``commit`` no longer sent, a new ``stars``
+    column added, plus an unknown extra column — and is aligned by
+    ``reconcile_exprs`` (rename + NULL-backfill + drop + cast, zero
+    Python) before the same MERGE, whose add-column path evolves the
+    target schema. Final table: epoch-1 winners carry NULL ``stars``,
+    epoch-2 winners NULL ``commit``; everything else is plain LWW, which
+    the oracle rebuilds in pure SQL (reference analogue: varying CSV
+    headers projected onto one logical schema, `worker.py:268,305-319`)."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from data_ingestion_resolution_platform_spark.operators.cdc import resolve_latest
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+    from data_ingestion_resolution_platform_spark.streaming.schema_evolution import (
+        reconcile_exprs,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_schemaevo_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    feed = _derived_code_feed(spark, sf_dir)
+    thr = feed.agg(F.max("lsn")).collect()[0][0] // 2
+    keys = ["repo", "path"]
+    t = LakeTable(spark, root)
+    e1 = feed.filter(F.col("lsn") <= thr)
+    t.merge(resolve_latest(e1, keys, "lsn"), keys, epoch_id=1,
+            delete_condition=F.col("op") == "D")
+    # epoch 2 as the producer actually sends it after evolving
+    drifted = feed.filter(F.col("lsn") > thr).select(
+        "lsn", "op", "ts", "repo", "path",
+        F.col("lang").alias("language"),            # renamed upstream
+        "content",                                   # commit dropped upstream
+        (F.length("content") % 50).cast("long").alias("stars"),  # added upstream
+        F.lit("ingest-7").alias("producer_host"),    # unknown extra
+    )
+    canonical = T.StructType(
+        list(t.read().schema.fields) + [T.StructField("stars", T.LongType())]
+    )
+    e2 = reconcile_exprs(drifted, canonical, renames={"language": "lang"})
+    t.merge(resolve_latest(e2, keys, "lsn"), keys, epoch_id=2,
+            delete_condition=F.col("op") == "D")
+    return t.read().select(
+        "repo", "path", "lsn", "op", "ts", "commit", "lang", "content", "stars"
+    )
+
+
+SQL_SCHEMA_EVOLUTION = f"""
+WITH feed AS ({_DERIVED_FEED_SQL}),
+thr AS (SELECT CAST(floor(max(lsn) / 2) AS BIGINT) AS t FROM feed),
+w AS (
+  SELECT f.*, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM feed f
+)
+SELECT repo, path, lsn, op, ts,
+       CASE WHEN lsn <= (SELECT t FROM thr) THEN "commit" END AS "commit",
+       lang, content,
+       CASE WHEN lsn > (SELECT t FROM thr) THEN length(content) % 50 END AS stars
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_lake_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-style data skipping under the driver gate: load the
     events table into a lake table range-clustered on ``ts`` (16 files,
@@ -1846,6 +1911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "ann_ivf": q_ann_ivf,
     "lake_prune_scan": q_lake_prune_scan,
+    "cdc_schema_evolution": q_cdc_schema_evolution,
     # rows-only (non-SQL-expressible: Arrow pandas-UDF plumbing)
     "multimodal_features": q_multimodal_features,
     # real PPM/WAV decode — oracled via closed-form feature arithmetic
@@ -1900,6 +1966,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf": _ivf_sql(),
     "dedup_embedding": _emb_lsh_sql(),
     "lake_prune_scan": SQL_PRUNE_SCAN,
+    "cdc_schema_evolution": SQL_SCHEMA_EVOLUTION,
     "corpus_prep": _corpus_prep_sql(),
     "train_split": SQL_TRAIN_SPLIT,
     "media_decode": SQL_MEDIA_DECODE,

@@ -154,3 +154,53 @@ def doc_fingerprint_portable(text: Column) -> Column:
         lambda acc, t: (acc * FINGERPRINT_BASE + F.pmod(tok_hash(t), F.lit(FINGERPRINT_MOD)))
         % FINGERPRINT_MOD,
     )
+
+
+# Distinct mixing prime from split_assign's 2654435761 so sampling is
+# decorrelated from train/val/test assignment (same doc can be sampled
+# regardless of which split it landed in).
+SAMPLE_PRIME = 2_246_822_519
+
+
+def stratified_keep(
+    id_col: Column,
+    group_col: Column,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    buckets: int = 10_000,
+) -> Column:
+    """Deterministic per-group (stratified) sampling predicate.
+
+    Hash-bucket the numeric id with integer mixing (portable to any
+    SQL engine — no randomness, replay-safe) and keep the row when its
+    bucket falls under the group's rate threshold. The workhorse for
+    corpus mixture weighting: up-/down-sample sources or languages with
+    exact, reproducible per-group fractions, streamed as a pure column
+    predicate (no shuffle, no state).
+    """
+    h = F.pmod((id_col.cast("long") + 1) * F.lit(SAMPLE_PRIME), F.lit(buckets))
+    thr: Column = F.lit(int(round(default_rate * buckets)))
+    for name, rate in rates.items():
+        thr = F.when(group_col == F.lit(name), F.lit(int(round(rate * buckets)))).otherwise(thr)
+    return h < thr
+
+
+# PII scrubbing patterns — shared RE2/Java-regex subset (no backrefs,
+# no lookaround) so Spark's regexp_replace and the oracle's DuckDB
+# regexp_replace(..., 'g') produce byte-identical output.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_LONG_NUM_RE = r"[0-9]{7,}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub PII-shaped substrings from free text: emails → [EMAIL],
+    phone numbers → [PHONE], long digit runs (account ids) → [NUM].
+
+    Order matters (emails before digit runs so the user part survives
+    as [EMAIL], not [EMAIL]+[NUM]); applied identically in the SQL
+    oracle. Expression-only — codegen'd, zero Python in the row path.
+    """
+    out = F.regexp_replace(text, PII_EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, PII_PHONE_RE, "[PHONE]")
+    return F.regexp_replace(out, PII_LONG_NUM_RE, "[NUM]")

@@ -30,9 +30,14 @@ from data_ingestion_resolution_platform_spark.functions.normalize import (
 from data_ingestion_resolution_platform_spark.functions.text import (
     BPE_ISH_REGEX,
     LANG_MARKERS,
+    PII_EMAIL_RE,
+    PII_LONG_NUM_RE,
+    PII_PHONE_RE,
     STOPWORDS_EN,
     doc_fingerprint_portable,
     quality_features,
+    redact_pii,
+    stratified_keep,
     token_count,
 )
 from data_ingestion_resolution_platform_spark.operators.cdc import (
@@ -1217,6 +1222,111 @@ FROM documents
 """
 
 
+_SHARD_BUDGET = 4096
+# Per-language corpus mixture: up-weight en, down-weight zh (demo rates).
+_STRAT_RATES = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.1}
+_STRAT_DEFAULT = 0.05
+
+
+def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing: global token offset for every document
+    (distributed two-phase prefix sum — never a single-task global
+    window) → fixed-budget shard assignment. The oracle expresses the
+    identical semantics as a plain ANSI window, which is only viable at
+    oracle scale; the Spark plan is the scale path."""
+    from data_ingestion_resolution_platform_spark.operators.packing import pack_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", token_count(F.col("text"), "whitespace").cast("long").alias("tokens")
+    )
+    packed = pack_shards(toks, "tokens", _SHARD_BUDGET, order_cols=("doc_id",))
+    return packed.select("doc_id", "tokens", "global_offset", "shard_id", "offset_in_shard")
+
+
+SQL_SHARD_PACKING = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
+           AS tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, tokens,
+         CAST(coalesce(sum(tokens) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS global_offset
+  FROM t
+)
+SELECT doc_id, tokens, global_offset,
+       CAST(floor(global_offset / {_SHARD_BUDGET}.0) AS BIGINT) AS shard_id,
+       global_offset - CAST(floor(global_offset / {_SHARD_BUDGET}.0) AS BIGINT)
+           * {_SHARD_BUDGET} AS offset_in_shard
+FROM c
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture weighting: deterministic per-language sampling via
+    portable integer hash — a pure predicate (no shuffle, no state), so
+    it composes with any scan at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = stratified_keep(F.col("doc_id"), F.col("lang"), _STRAT_RATES, _STRAT_DEFAULT)
+    return docs.where(keep).select("doc_id", "lang", "source")
+
+
+def _stratified_sql() -> str:
+    from data_ingestion_resolution_platform_spark.functions.text import SAMPLE_PRIME
+
+    whens = "\n            ".join(
+        f"WHEN lang = '{g}' THEN {int(round(r * 10_000))}" for g, r in _STRAT_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE ((doc_id + 1) * {SAMPLE_PRIME}) % 10000 <
+      CASE {whens}
+            ELSE {int(round(_STRAT_DEFAULT * 10_000))} END
+"""
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over free text: regex redaction as pure column
+    expressions — codegen'd, replace-all semantics matched to the
+    oracle's RE2 'g' flag. The driver's customer table has no
+    phone/comment columns, so the PII-bearing text is constructed
+    deterministically from the key (identically in the oracle):
+    name (itself holds a long digit run), an email, a phone, an
+    account number — all of which must be scrubbed."""
+    cust = _t(spark, sf_dir, "customer")
+    key_s = F.col("c_custkey").cast("string")
+    text = F.concat(
+        F.col("c_name"),
+        F.lit(" <user"),
+        key_s,
+        F.lit("@example.com> ph 12-345-"),
+        F.lpad(F.pmod(F.col("c_custkey"), F.lit(1000)).cast("string"), 3, "0"),
+        F.lit("-0000 acct "),
+        (F.col("c_custkey") + F.lit(10_000_000)).cast("string"),
+    )
+    return cust.select(F.col("c_custkey"), redact_pii(text).alias("redacted"))
+
+
+SQL_PII_REDACTION = f"""
+SELECT c_custkey,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             c_name || ' <user' || CAST(c_custkey AS VARCHAR)
+               || '@example.com> ph 12-345-'
+               || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+               || '-0000 acct ' || CAST(c_custkey + 10000000 AS VARCHAR),
+             '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+           '{PII_PHONE_RE}', '[PHONE]', 'g'),
+         '{PII_LONG_NUM_RE}', '[NUM]', 'g') AS redacted
+FROM customer
+"""
+
+
 # --------------------------------------------------------------------------
 # Full-engine e2e under the driver gate: CDC pipeline epoch replay and
 # the CSV ingestion family (S1/S2/P7/P8 + S5/S7/M1-M7), each with a pure
@@ -1908,6 +2018,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contacts_csv_ingest": q_contacts_csv_ingest,
     "corpus_prep": q_corpus_prep,
     "train_split": q_train_split,
+    "shard_packing": q_shard_packing,
+    "stratified_sample": q_stratified_sample,
+    "pii_redaction": q_pii_redaction,
     "dedup_embedding": q_dedup_embedding,
     "ann_ivf": q_ann_ivf,
     "lake_prune_scan": q_lake_prune_scan,
@@ -1969,5 +2082,8 @@ ORACLES: dict[str, str] = {
     "cdc_schema_evolution": SQL_SCHEMA_EVOLUTION,
     "corpus_prep": _corpus_prep_sql(),
     "train_split": SQL_TRAIN_SPLIT,
+    "shard_packing": SQL_SHARD_PACKING,
+    "stratified_sample": _stratified_sql(),
+    "pii_redaction": SQL_PII_REDACTION,
     "media_decode": SQL_MEDIA_DECODE,
 }

@@ -1613,6 +1613,68 @@ WHERE a.repo IS NULL OR b.repo IS NULL OR {distinct}
 """
 
 
+def q_ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: seed a persisted per-(repo, lang)
+    aggregate (file count + content bytes) from the lake's v1 snapshot,
+    then advance it to the v2 state using ONLY the invertible v1→v2
+    change feed (``changelog(include_preimages=True)`` → signed delta
+    aggregation → broadcast-pruned exactly-once MERGE,
+    ``operators/ivm.py``) — the base table is never rescanned, which is
+    the shape that replaces the reference's recount-after-every-job
+    (`/root/reference/backend/worker.py` finalize) at 10^10 rows. The
+    oracle recomputes the same aggregate directly from the full-feed
+    LWW state: maintained-by-delta must equal recomputed-from-scratch,
+    including groups newly created, moved into (``lang`` changes on
+    update, handled by the preimage subtract / postimage add), and
+    groups whose count reaches zero."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.ivm import (
+        maintain_aggregate,
+    )
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = _two_epoch_code_lake(spark, sf_dir, f"/tmp/dirp_ivm_src_{tag}")
+    agg_root = f"/tmp/dirp_ivm_agg_{tag}"
+    shutil.rmtree(agg_root, ignore_errors=True)
+    agg = LakeTable(spark, agg_root)
+    seed = (
+        src.read(version=1)
+        .groupBy("repo", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(F.length("content")).cast("long").alias("total_bytes"),
+        )
+    )
+    agg.merge(seed, ["repo", "lang"], epoch_id="seed_v1")
+    changes = src.changelog(1, 2, ["repo", "path"], include_preimages=True)
+    maintain_aggregate(
+        agg,
+        changes,
+        ["repo", "lang"],
+        {"total_bytes": "length(content)"},
+        epoch_id="ivm_v2",
+        count_alias="n_files",
+    )
+    return agg.read().select("repo", "lang", "n_files", "total_bytes")
+
+
+SQL_IVM_AGG = f"""
+WITH feed AS ({_DERIVED_FEED_SQL}),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM feed
+), s2 AS (
+  SELECT repo, lang, content FROM w WHERE rn = 1 AND op <> 'D'
+)
+SELECT repo, lang,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(length(content)) AS BIGINT) AS total_bytes
+FROM s2 GROUP BY repo, lang
+"""
+
+
 _FIRST_EXPR = (
     "CASE WHEN c_custkey % 4 = 0 THEN '  ann   marie ' "
     "WHEN c_custkey % 9 = 0 THEN '   ' ELSE 'ann' END"
@@ -2015,6 +2077,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mor_merge_read": q_mor_merge_read,
     "table_changes": q_table_changes,
     "cdf_replication": q_cdf_replication,
+    "ivm_incremental_agg": q_ivm_incremental_agg,
     "contacts_csv_ingest": q_contacts_csv_ingest,
     "corpus_prep": q_corpus_prep,
     "train_split": q_train_split,
@@ -2075,6 +2138,7 @@ ORACLES: dict[str, str] = {
     "mor_merge_read": SQL_PIPELINE_E2E,
     "table_changes": _table_changes_sql(),
     "cdf_replication": SQL_PIPELINE_E2E,
+    "ivm_incremental_agg": SQL_IVM_AGG,
     "contacts_csv_ingest": SQL_CONTACTS_CSV,
     "ann_ivf": _ivf_sql(),
     "dedup_embedding": _emb_lsh_sql(),

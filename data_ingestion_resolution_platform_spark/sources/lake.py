@@ -42,6 +42,7 @@ def snapshot_diff(
     after: DataFrame,
     keys: Sequence[str],
     compare_cols: Sequence[str] | None = None,
+    include_preimages: bool = False,
 ) -> DataFrame:
     """Key-level change feed between two table snapshots (the Iceberg/
     Delta CDF shape): one row per changed key with ``change_type`` in
@@ -56,6 +57,13 @@ def snapshot_diff(
     schema evolution between the snapshots surface as updates only for
     keys whose compared columns changed (pass them explicitly to treat
     backfill as change).
+
+    ``include_preimages=True`` additionally emits an ``update_preimage``
+    row (the before-image) for every updated key — the Delta CDF shape
+    that makes the feed *invertible*, which downstream incremental
+    aggregate maintenance needs to subtract a key's old contribution
+    (see ``operators.ivm``). Still one shuffle: both images ride the
+    same full-outer join row and fan out via a 2-element explode.
     """
     key_list = list(keys)
     shared = [c for c in after.columns if c in set(before.columns)]
@@ -83,6 +91,25 @@ def snapshot_diff(
         .when(F.col("_in_b").isNull(), F.lit("delete"))
         .when(changed, F.lit("update_postimage"))
     )
+    if include_preimages:
+        def img(change: str, side: str) -> F.Column:
+            return F.struct(
+                F.lit(change).alias("change_type"),
+                *[F.col(f"_{side}_{c}").alias(c) for c in compare],
+            )
+
+        rows = (
+            F.when(F.col("_in_a").isNull(), F.array(img("insert", "b")))
+            .when(F.col("_in_b").isNull(), F.array(img("delete", "a")))
+            .when(changed, F.array(img("update_preimage", "a"), img("update_postimage", "b")))
+        )
+        # explode skips NULL arrays (unchanged keys) — no extra filter
+        ex = j.select(*key_list, F.explode(rows).alias("_chg"))
+        return ex.select(
+            *key_list,
+            F.col("_chg.change_type").alias("change_type"),
+            *[F.col(f"_chg.{c}").alias(c) for c in compare],
+        )
     out_vals = [
         F.when(F.col("_in_b").isNull(), F.col(f"_a_{c}"))
         .otherwise(F.col(f"_b_{c}"))
@@ -256,12 +283,19 @@ class LakeTable:
         v_to: int,
         keys: Sequence[str],
         compare_cols: Sequence[str] | None = None,
+        include_preimages: bool = False,
     ) -> DataFrame:
         """Row-level diff between two retained snapshots — the engine's
         change-data-feed: what a MERGE epoch (or several) did to the
-        table, recoverable after the fact. See :func:`snapshot_diff`."""
+        table, recoverable after the fact. See :func:`snapshot_diff`;
+        ``include_preimages=True`` yields the invertible Delta-CDF shape
+        that :mod:`operators.ivm` consumes."""
         return snapshot_diff(
-            self.read(version=v_from), self.read(version=v_to), keys, compare_cols
+            self.read(version=v_from),
+            self.read(version=v_to),
+            keys,
+            compare_cols,
+            include_preimages=include_preimages,
         )
 
     def epoch_committed(self, epoch_id: str | int) -> bool:

@@ -69,7 +69,7 @@ def dedup_exact_keep(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keepers, on=id_col, how="left_semi")
 
 
-def minhash_candidates(
+def minhash_bands(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -78,18 +78,10 @@ def minhash_candidates(
     num_bands: int = 8,
     portable: bool = False,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs (id_a < id_b, n_shared_bands).
-
-    Plan shape: docs → signatures (narrow) → explode bands (×bands) →
-    self-join on (band, bucket) — an equi-join Catalyst shuffles on a
-    compact long key. Buckets with huge membership (boilerplate) are
-    the skew risk: cap via ``spark.sql.adaptive.skewJoin`` + an
-    optional bucket-size guard upstream.
-
-    ``portable=True`` swaps the per-shingle xxhash64 and the band-bucket
-    hash for engine-portable polynomial arithmetic so a DuckDB oracle
-    can reproduce the exact output (the driver correctness gate).
-    Slightly weaker hash mixing — prefer the default for production.
+    """LSH band-bucket table ``(doc, band, bucket)`` for each document —
+    the shared signature stage of :func:`minhash_candidates` (batch
+    self-join) and :func:`incremental_minhash_epoch` (index join).
+    See :func:`minhash_candidates` for the plan-shape discussion.
     """
     rows_per_band = num_hashes // num_bands
     df = ensure_parallelism(df)
@@ -130,8 +122,35 @@ def minhash_candidates(
         band_structs.append(
             F.struct(F.lit(band).alias("band"), bucket.alias("bucket"))
         )
-    banded = sigs.select("doc", F.explode(F.array(*band_structs)).alias("b")).select(
+    return sigs.select("doc", F.explode(F.array(*band_structs)).alias("b")).select(
         "doc", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k_shingle: int = 5,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (id_a < id_b, n_shared_bands).
+
+    Plan shape: docs → signatures (narrow) → explode bands (×bands) →
+    self-join on (band, bucket) — an equi-join Catalyst shuffles on a
+    compact long key. Buckets with huge membership (boilerplate) are
+    the skew risk: cap via ``spark.sql.adaptive.skewJoin`` + an
+    optional bucket-size guard upstream.
+
+    ``portable=True`` swaps the per-shingle xxhash64 and the band-bucket
+    hash for engine-portable polynomial arithmetic so a DuckDB oracle
+    can reproduce the exact output (the driver correctness gate).
+    Slightly weaker hash mixing — prefer the default for production.
+    """
+    banded = minhash_bands(
+        df, text_col, id_col, k_shingle, num_hashes, num_bands, portable
     )
     # tiny (docs x bands) frame, expensive lineage: materialize once so
     # the self-join below doesn't run the shingle pipeline twice

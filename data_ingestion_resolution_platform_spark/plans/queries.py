@@ -876,6 +876,63 @@ GROUP BY 1, 2
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup at ingest time: a persisted MinHash-LSH
+    band index is seeded from a derived "yesterday" corpus (10%% of
+    docs missing = today's inserts; every 7th doc carrying a perturbed
+    legacy text = today's updates; ghost docs = today's deletes), then
+    ONE change-feed epoch advances it (``operators/
+    dedup_incremental.py``): only the changed docs are shingled, the
+    corpus-sized index never shuffles (Δ bands broadcast), tombstones
+    drop out, and the epoch MERGE is exactly-once. Emitted pairs must
+    equal the full-corpus recompute restricted to pairs touching a
+    changed doc — which is the oracle (full portable MinHash over
+    ``documents`` + the changed-id filter)."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.dedup_incremental import (
+        build_minhash_index,
+        incremental_minhash_epoch,
+    )
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    legacy = F.concat(F.col("text"), F.lit(" legacy legacy rewrite pending"))
+    v1 = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, legacy).otherwise(F.col("text")),
+    )
+    ghosts = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_lsh_index_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    index = LakeTable(spark, root)
+    build_minhash_index(
+        index, v1.unionByName(ghosts), "text", "doc_id", epoch_id="seed", portable=True
+    )
+    changes = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("change_type", F.lit("insert"))
+        .unionByName(
+            docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 10 != 0))
+            .withColumn("change_type", F.lit("update_postimage"))
+        )
+        .unionByName(ghosts.withColumn("change_type", F.lit("delete")))
+    )
+    return incremental_minhash_epoch(
+        index, changes, "text", "doc_id", epoch_id="e1", portable=True
+    )
+
+
+def _incremental_minhash_oracle() -> str:
+    return f"""
+SELECT * FROM ({_minhash_sql()})
+WHERE id_a % 10 = 0 OR id_a % 7 = 0 OR id_b % 10 = 0 OR id_b % 7 = 0
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups, portable-hash configuration. NOTE the recall
     bound: 16-bit chunk blocking guarantees recall only for hamming ≤ 3;
@@ -2072,6 +2129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_json_props": q_events_json_props,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_simhash": q_dedup_simhash,
     "pipeline_cdc_e2e": q_pipeline_cdc_e2e,
     "mor_merge_read": q_mor_merge_read,
@@ -2133,6 +2191,7 @@ ORACLES: dict[str, str] = {
     "events_sessionize": SQL_SESSIONIZE,
     "events_json_props": SQL_JSON_PROPS,
     "dedup_minhash": _minhash_sql(),
+    "dedup_incremental": _incremental_minhash_oracle(),
     "dedup_simhash": _simhash_sql(),
     "pipeline_cdc_e2e": SQL_PIPELINE_E2E,
     "mor_merge_read": SQL_PIPELINE_E2E,

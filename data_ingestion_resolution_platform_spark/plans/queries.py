@@ -1463,6 +1463,43 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_pipeline_maintained_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's incrementally-maintained metrics table under the
+    driver gate: replay the derived change feed with
+    ``maintain_stats=True`` — each epoch advances a per-repo aggregate
+    (path count + content bytes) from the epoch's own pre/post images
+    (``operators/ivm.py``), never rescanning the target. The oracle
+    aggregates the pure-SQL LWW collapse of the whole feed: the
+    maintained table must equal the recomputed truth after 3 epochs of
+    inserts, updates, deletes, and ledger-guarded commits."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.streaming.pipeline import CDCPipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wh = f"/tmp/dirp_pipeline_stats_{tag}"
+    shutil.rmtree(wh, ignore_errors=True)
+    feed = _derived_code_feed(spark, sf_dir)
+    pipe = CDCPipeline(spark, feed_dir="unused", warehouse=wh, maintain_stats=True)
+    pipe.replay_bounded(feed, epochs=3)
+    return pipe.stats.read().select("repo", "n_paths", "total_bytes")
+
+
+SQL_PIPELINE_STATS = f"""
+WITH feed AS ({_DERIVED_FEED_SQL}),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM feed
+), s AS (
+  SELECT repo, content FROM w WHERE rn = 1 AND op <> 'D'
+)
+SELECT repo,
+       CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(sum(length(content)) AS BIGINT) AS total_bytes
+FROM s GROUP BY repo
+"""
+
+
 def q_cdc_conflict_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1-M3 as a driver-gated query: three lsn-ranged epochs of
     conflict detection over the derived code feed maintain a
@@ -2132,6 +2169,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_simhash": q_dedup_simhash,
     "pipeline_cdc_e2e": q_pipeline_cdc_e2e,
+    "pipeline_maintained_stats": q_pipeline_maintained_stats,
     "mor_merge_read": q_mor_merge_read,
     "table_changes": q_table_changes,
     "cdf_replication": q_cdf_replication,
@@ -2194,6 +2232,7 @@ ORACLES: dict[str, str] = {
     "dedup_incremental": _incremental_minhash_oracle(),
     "dedup_simhash": _simhash_sql(),
     "pipeline_cdc_e2e": SQL_PIPELINE_E2E,
+    "pipeline_maintained_stats": SQL_PIPELINE_STATS,
     "mor_merge_read": SQL_PIPELINE_E2E,
     "table_changes": _table_changes_sql(),
     "cdf_replication": SQL_PIPELINE_E2E,

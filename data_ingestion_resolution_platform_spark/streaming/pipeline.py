@@ -63,6 +63,14 @@ class CDCPipeline:
     # touches every bucket).
     target_mode: str = "cow"
     compact_every: int | None = 8
+    # opt-in incrementally-maintained metrics table (operators/ivm.py):
+    # per-stats_key row counts + content bytes kept in lock-step with
+    # the target WITHOUT ever rescanning it — the epoch's pre-images
+    # (current target rows for the batch keys, a broadcast semi-join)
+    # and post-images (the winners) form an invertible mini-CDF whose
+    # signed delta advances the aggregate.
+    maintain_stats: bool = False
+    stats_keys: tuple[str, ...] = ("repo",)
 
     def __post_init__(self) -> None:
         if self.target_mode == "cow":
@@ -95,6 +103,11 @@ class CDCPipeline:
         )
         self.lineage = LakeTable(
             self.spark, os.path.join(self.warehouse, "lineage"), append_only=True
+        )
+        self.stats = (
+            LakeTable(self.spark, os.path.join(self.warehouse, "stats"))
+            if self.maintain_stats
+            else None
         )
         self.checkpoint = os.path.join(self.warehouse, "_checkpoint")
 
@@ -141,6 +154,16 @@ class CDCPipeline:
                 fl = pool.submit(self.lineage.append, lin, f"l{epoch}", 1)
                 fc.result()
                 fl.result()
+            # maintained metrics BEFORE the target merge: the pre-images
+            # must be read from the pre-merge target, and this ordering
+            # keeps the retry story convergent — if the stats MERGE
+            # commits but the target MERGE then fails, redelivery skips
+            # the stats epoch (its own ledger) and re-runs the target
+            # merge from the same deterministic winners. The reverse
+            # order would strand the stats forever behind the target's
+            # committed-epoch early return.
+            if self.stats is not None:
+                self._maintain_stats(resolved.winners, epoch)
             stats = self.target.merge(
                 resolved.winners,
                 list(self.keys),
@@ -177,6 +200,45 @@ class CDCPipeline:
         finally:
             resolved.unpersist()
         return stats
+
+    def _maintain_stats(self, winners: DataFrame, epoch: int) -> None:
+        """Advance the maintained per-``stats_keys`` aggregate (row
+        count + content bytes) by this epoch's delta.
+
+        The epoch's CDF is synthesized from what the MERGE is about to
+        do: current target rows for the batch keys are the pre-images
+        (every one is replaced or deleted → sign -1), surviving winners
+        are the post-images (sign +1). Unchanged re-deliveries cancel
+        exactly (-x + x = 0). The target is only touched by ONE
+        broadcast semi-join on the (small) batch key set — never a full
+        rescan, never a shuffle of the target."""
+        from data_ingestion_resolution_platform_spark.operators.ivm import (
+            maintain_aggregate,
+        )
+
+        key_list = list(self.keys)
+        cols = [*key_list, "lang", "content"]
+        post = (
+            winners.filter(F.col("op") != "D")
+            .select(*cols, F.lit("update_postimage").alias("change_type"))
+        )
+        if self.target.exists():
+            pre = (
+                self.target.read()
+                .join(F.broadcast(winners.select(*key_list)), on=key_list, how="left_semi")
+                .select(*cols, F.lit("update_preimage").alias("change_type"))
+            )
+            cdf = pre.unionByName(post)
+        else:
+            cdf = post
+        maintain_aggregate(
+            self.stats,
+            cdf,
+            list(self.stats_keys),
+            {"total_bytes": "length(content)"},
+            epoch_id=f"m{epoch}",
+            count_alias="n_paths",
+        )
 
     # -- streaming entry --------------------------------------------------
     def run_stream(self, available_now: bool = True, trigger_seconds: float | None = None):

@@ -163,3 +163,46 @@ def test_maintained_agg_tracks_many_epochs(spark, tmp_path):
         )
         assert _as_dict(t.read()) == _as_dict(_direct_agg(df_of(nxt))), f"epoch {epoch}"
         state = nxt
+
+
+def test_pipeline_maintained_stats_tracks_target(spark, tmp_path):
+    """CDCPipeline(maintain_stats=True): the per-repo metrics table
+    stays equal to a direct aggregate of the target after every epoch,
+    and redelivery of committed epochs changes nothing."""
+    from data_ingestion_resolution_platform_spark.sources.feed import synth_change_feed
+    from data_ingestion_resolution_platform_spark.streaming.pipeline import CDCPipeline
+
+    feed = synth_change_feed(spark, n_events=4000, n_repos=12, seed=3, partitions=8)
+    pipe = CDCPipeline(
+        spark, feed_dir="unused", warehouse=str(tmp_path / "wh"), maintain_stats=True
+    )
+
+    def recompute():
+        return _as_dict(
+            pipe.target.read()
+            .groupBy("repo")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.length("content")).cast("long").alias("total_bytes"),
+            )
+            .withColumnRenamed("repo", "lang")  # reuse _as_dict's (repo, lang) key
+            .withColumn("repo", F.col("lang"))
+        )
+
+    def stats_dict():
+        return _as_dict(
+            pipe.stats.read()
+            .select(
+                "repo",
+                F.col("repo").alias("lang"),
+                F.col("n_paths").alias("n_rows"),
+                "total_bytes",
+            )
+        )
+
+    pipe.replay_bounded(feed, epochs=3)
+    assert stats_dict() == recompute()
+    # redelivery: both target and stats epochs are ledgered no-ops
+    out = pipe.replay_bounded(feed, epochs=3)
+    assert all(o.get("skipped") for o in out)
+    assert stats_dict() == recompute()

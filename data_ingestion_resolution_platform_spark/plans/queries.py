@@ -2125,6 +2125,61 @@ GROUP BY event_type
 """
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over bucketed tables — the repeated-join layout
+    (`sources/bucketed.py`). orders and customer are both written
+    bucketed on custkey, so the equi-join plans with NO Exchange on
+    either side (asserted in tests/test_bucketed.py); only the tiny
+    final aggregation shuffles. Result: order stats per market segment
+    for high-value open orders."""
+    from data_ingestion_resolution_platform_spark.sources.bucketed import ensure_bucketed
+
+    # cache keyed by source identity: regenerated testdata → fresh write
+    st_o = os.stat(f"{sf_dir}/orders.parquet")
+    st_c = os.stat(f"{sf_dir}/customer.parquet")
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{st_o.st_size}_{st_o.st_mtime_ns}_{st_c.st_size}_{st_c.st_mtime_ns}"
+    root = f"/tmp/dirp_bucketed/{tag}"
+    orders = ensure_bucketed(
+        spark,
+        "dirp_b_orders",
+        f"{root}/orders",
+        ["o_custkey"],
+        8,
+        lambda: _t(spark, sf_dir, "orders"),
+        sort_cols=["o_custkey"],
+    )
+    customer = ensure_bucketed(
+        spark,
+        "dirp_b_customer",
+        f"{root}/customer",
+        ["c_custkey"],
+        8,
+        lambda: _t(spark, sf_dir, "customer"),
+        sort_cols=["c_custkey"],
+    )
+    joined = orders.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000.0)
+    ).join(customer, orders.o_custkey == customer.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+SQL_BUCKETED_JOIN = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0
+GROUP BY c_mktsegment
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2184,6 +2239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "lake_prune_scan": q_lake_prune_scan,
     "cdc_schema_evolution": q_cdc_schema_evolution,
+    "bucketed_join": q_bucketed_join,
     # rows-only (non-SQL-expressible: Arrow pandas-UDF plumbing)
     "multimodal_features": q_multimodal_features,
     # real PPM/WAV decode — oracled via closed-form feature arithmetic
@@ -2242,6 +2298,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding": _emb_lsh_sql(),
     "lake_prune_scan": SQL_PRUNE_SCAN,
     "cdc_schema_evolution": SQL_SCHEMA_EVOLUTION,
+    "bucketed_join": SQL_BUCKETED_JOIN,
     "corpus_prep": _corpus_prep_sql(),
     "train_split": SQL_TRAIN_SPLIT,
     "shard_packing": SQL_SHARD_PACKING,

@@ -165,8 +165,25 @@ class _EpochLedger:
         )
 
 
+class CommitConflict(RuntimeError):
+    """Another writer claimed this version first. The caller's snapshot
+    is stale: re-read the table, recompute the batch against the new
+    state, and retry the write (Iceberg's optimistic-concurrency retry
+    loop)."""
+
+
 class _Versioned:
-    """A directory of ``v=N`` snapshots with an atomic ``_LATEST`` pointer."""
+    """A directory of ``v=N`` snapshots with an atomic ``_LATEST`` pointer.
+
+    Concurrent writers are serialized optimistically: each writer must
+    :meth:`claim` its target version (atomic ``O_EXCL`` create — the
+    CAS; maps to a conditional PUT / catalog compare-and-swap on a real
+    object store) BEFORE writing data. Exactly one racer wins a given
+    version; losers get :class:`CommitConflict` and must recompute from
+    the newly-visible snapshot. A claim is only grantable when its base
+    version is already committed, so a loser can never overwrite a
+    concurrent winner's rows with a merge computed against the stale
+    base."""
 
     def __init__(self, root: str):
         self.root = root
@@ -186,6 +203,44 @@ class _Versioned:
     def dir_for(self, v: int) -> str:
         return os.path.join(self.root, f"v={v}")
 
+    def _claim_path(self, v: int) -> str:
+        return os.path.join(self.root, f"_CLAIM_v{v}")
+
+    def claim(self, v: int) -> None:
+        """Atomically claim the right to write version ``v``.
+
+        Raises :class:`CommitConflict` if another writer holds it, or if
+        ``v``'s base is not yet the committed current version (the racer
+        that claimed the intermediate version hasn't finished — the
+        caller's snapshot is stale either way). Release on write
+        failure via :meth:`release`; the commit pointer swap consumes
+        the claim on success."""
+        if self.current() != v - 1:
+            raise CommitConflict(
+                f"{self.root}: version {v} has base {v - 1} but current is "
+                f"{self.current()} — stale snapshot, re-read and retry"
+            )
+        try:
+            fd = os.open(self._claim_path(v), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflict(
+                f"{self.root}: version {v} already claimed by a concurrent "
+                "writer — re-read and retry"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+
+    def release(self, v: int) -> None:
+        """Abandon a claim after a failed write so the table isn't
+        wedged. (A writer that dies without releasing leaves the claim
+        behind — on a real catalog the pointer CAS makes abandoned
+        claims impossible; here `force=True` on a fresh claim path via
+        manual removal is the documented operator escape hatch.)"""
+        try:
+            os.remove(self._claim_path(v))
+        except FileNotFoundError:
+            pass
+
     def commit(self, v: int) -> None:
         tmp = self._latest + ".tmp"
         with open(tmp, "w") as f:
@@ -199,6 +254,11 @@ class _Versioned:
                 v = int(name.split("=", 1)[1])
                 if v <= cur - keep:
                     shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+            elif name.startswith("_CLAIM_v"):
+                # consumed claims (version committed) are dead metadata
+                v = int(name[len("_CLAIM_v"):])
+                if v <= cur:
+                    self.release(v)
 
 
 class LakeTable:
@@ -311,8 +371,13 @@ class LakeTable:
         if epoch_id is not None and self.ledger.committed(epoch_id):
             return
         v = self.versions.current() + 1
-        df.write.mode("overwrite").parquet(self.versions.dir_for(v))
-        self.versions.commit(v)
+        self.versions.claim(v)  # CommitConflict → caller re-reads + retries
+        try:
+            df.write.mode("overwrite").parquet(self.versions.dir_for(v))
+            self.versions.commit(v)
+        except Exception:
+            self.versions.release(v)
+            raise
         if epoch_id is not None:
             self.ledger.record(epoch_id, {"mode": "overwrite"})
         self.versions.vacuum()
@@ -340,11 +405,16 @@ class LakeTable:
             out.write.mode("overwrite").parquet(os.path.join(self._data_dir, sub))
         else:
             v = self.versions.current()
-            combined = (
-                self.read().unionByName(df, allowMissingColumns=True) if v > 0 else df
-            )
-            combined.write.mode("overwrite").parquet(self.versions.dir_for(v + 1))
-            self.versions.commit(v + 1)
+            self.versions.claim(v + 1)
+            try:
+                combined = (
+                    self.read().unionByName(df, allowMissingColumns=True) if v > 0 else df
+                )
+                combined.write.mode("overwrite").parquet(self.versions.dir_for(v + 1))
+                self.versions.commit(v + 1)
+            except Exception:
+                self.versions.release(v + 1)
+                raise
         if epoch_id is not None:
             self.ledger.record(epoch_id, {"mode": "append"})
         if not self.append_only:
@@ -385,6 +455,16 @@ class LakeTable:
         # in finally so a failed write/commit (normal under the
         # streaming retry design) doesn't leak executor storage
         batch = batch.persist()
+        # claim the target version BEFORE reading the base snapshot: the
+        # claim (CAS) guarantees the snapshot we merge against IS the
+        # claimed version's base, so a concurrent winner's rows can never
+        # be overwritten by a merge computed from a stale read
+        v = self.versions.current() + 1
+        try:
+            self.versions.claim(v)
+        except CommitConflict:
+            batch.unpersist()
+            raise
         try:
             upserts = (
                 batch.filter(~delete_condition) if delete_condition is not None else batch
@@ -411,7 +491,6 @@ class LakeTable:
                 ).select(*all_cols)
             else:
                 merged = upserts
-            v = self.versions.current() + 1
             merged.write.mode("overwrite").parquet(self.versions.dir_for(v))
             self.versions.commit(v)
             stats: dict = {"mode": "merge"}
@@ -422,6 +501,9 @@ class LakeTable:
             if epoch_id is not None:
                 self.ledger.record(epoch_id, stats)
             self.versions.vacuum()
+        except Exception:
+            self.versions.release(v)
+            raise
         finally:
             batch.unpersist()
         return stats

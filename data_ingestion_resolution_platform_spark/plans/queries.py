@@ -2125,6 +2125,43 @@ GROUP BY event_type
 """
 
 
+def q_zorder_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering under the driver gate: rewrite events Morton-
+    clustered on (ts, value) (`sources/clustering.py`), then answer a
+    value-only ranged aggregation through the footer-stats pruner —
+    a predicate on the SECOND z-dimension, which a ts-range-clustered
+    layout cannot prune at all (tests/test_clustering.py proves the
+    pruning differential; this query's oracle proves results are
+    unchanged)."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.sources.clustering import write_clustered
+    from data_ingestion_resolution_platform_spark.sources.skipping import pruned_scan
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_zorder_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    write_clustered(ev, root, ["ts", "value"], n_files=16)
+    scanned, _report = pruned_scan(spark, root, [root], [("value", ">=", 95.0)])
+    return scanned.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+SQL_ZORDER_PRUNE = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       min(event_id) AS min_event_id, max(event_id) AS max_event_id
+FROM events
+WHERE value >= 95.0
+GROUP BY event_type
+"""
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join over bucketed tables — the repeated-join layout
     (`sources/bucketed.py`). orders and customer are both written
@@ -2240,6 +2277,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_prune_scan": q_lake_prune_scan,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "bucketed_join": q_bucketed_join,
+    "zorder_prune_scan": q_zorder_prune_scan,
     # rows-only (non-SQL-expressible: Arrow pandas-UDF plumbing)
     "multimodal_features": q_multimodal_features,
     # real PPM/WAV decode — oracled via closed-form feature arithmetic
@@ -2299,6 +2337,7 @@ ORACLES: dict[str, str] = {
     "lake_prune_scan": SQL_PRUNE_SCAN,
     "cdc_schema_evolution": SQL_SCHEMA_EVOLUTION,
     "bucketed_join": SQL_BUCKETED_JOIN,
+    "zorder_prune_scan": SQL_ZORDER_PRUNE,
     "corpus_prep": _corpus_prep_sql(),
     "train_split": SQL_TRAIN_SPLIT,
     "shard_packing": SQL_SHARD_PACKING,

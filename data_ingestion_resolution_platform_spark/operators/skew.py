@@ -73,6 +73,43 @@ def salted_count(
     return partial.groupBy(*keys).agg(F.sum("__c").alias("n_rows"))
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salt: int = 16,
+    how: str = "inner",
+    entropy: Column | None = None,
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big side, REPLICATE the small side.
+
+    A hot join key sends all its big-side rows to one reducer in a
+    plain shuffle join. Here the big side gets a deterministic salt in
+    [0, n_salt) (content hash — replay-stable, see :func:`with_salt`),
+    the small side is exploded ``n_salt``× with every salt value, and
+    the join key becomes (keys..., salt): a hot key's rows spread over
+    ``n_salt`` reducers, each holding its own copy of the matching
+    small rows. Output is row-identical to ``big.join(small, on, how)``
+    for ``inner``/``left`` (each big row matches exactly its one
+    salt's replica).
+
+    Cost: small side shuffles ``n_salt``× its size — use when the
+    small side is too big to broadcast but far smaller than the big
+    side's hot keys (the gap AQE's skew-join handles only partially,
+    since AQE splits a skewed partition but still materializes it
+    first). This is the join-side twin of :func:`salted_latest`.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    key_list = list(on)
+    big_salted = with_salt(big, n_salt, entropy=entropy)
+    replicas = small.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    joined = big_salted.join(replicas, on=[*key_list, SALT_COL], how=how)
+    return joined.drop(SALT_COL)
+
+
 def top_hot_keys(df: DataFrame, keys: Sequence[str], k: int = 20) -> DataFrame:
     """Diagnostic: the k heaviest keys (drives salting decisions)."""
     return (

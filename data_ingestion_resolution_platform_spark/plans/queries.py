@@ -2162,6 +2162,36 @@ GROUP BY event_type
 """
 
 
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof join under the driver gate: events (big, hot keys)
+    ⋈ customer (small but above broadcast size at scale) through
+    ``skew.salted_join`` — big side salted deterministically, small
+    side replicated per salt, join on (key, salt). The oracle is the
+    plain SQL join, proving row-identity of the salted plan."""
+    from data_ingestion_resolution_platform_spark.operators.skew import salted_join
+
+    events = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(events, cust, ["user_id"], n_salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+SQL_SKEW_SALTED_JOIN = """
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join over bucketed tables — the repeated-join layout
     (`sources/bucketed.py`). orders and customer are both written
@@ -2278,6 +2308,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "bucketed_join": q_bucketed_join,
     "zorder_prune_scan": q_zorder_prune_scan,
+    "skew_salted_join": q_skew_salted_join,
     # rows-only (non-SQL-expressible: Arrow pandas-UDF plumbing)
     "multimodal_features": q_multimodal_features,
     # real PPM/WAV decode — oracled via closed-form feature arithmetic
@@ -2338,6 +2369,7 @@ ORACLES: dict[str, str] = {
     "cdc_schema_evolution": SQL_SCHEMA_EVOLUTION,
     "bucketed_join": SQL_BUCKETED_JOIN,
     "zorder_prune_scan": SQL_ZORDER_PRUNE,
+    "skew_salted_join": SQL_SKEW_SALTED_JOIN,
     "corpus_prep": _corpus_prep_sql(),
     "train_split": SQL_TRAIN_SPLIT,
     "shard_packing": SQL_SHARD_PACKING,

@@ -2162,6 +2162,101 @@ GROUP BY event_type
 """
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all 2^2 grouping combinations of (event_type,
+    day-of-week) in one pass (Catalyst Expand, single shuffle) — the
+    multi-total twin of `pricing_rollup`. ``grouping()`` flags
+    disambiguate the subtotal rows portably."""
+    ev = _t(spark, sf_dir, "events").withColumn("dow", F.dayofweek("ts"))
+    return (
+        ev.cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("dow").cast("int").alias("g_dow"),
+        )
+    )
+
+
+SQL_EVENTS_CUBE = """
+SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(dayofweek(ts) + 1) AS INT) AS g_dow
+FROM events
+GROUP BY CUBE (event_type, dayofweek(ts) + 1)
+"""
+
+
+def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide measure columns → long (metric, value) rows,
+    then totals per (returnflag, metric). One narrow shuffle; the melt
+    itself is a zero-shuffle Expand."""
+    li = _t(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+    return melted.groupBy("l_returnflag", "metric").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("sum_val"),
+    )
+
+
+SQL_UNPIVOT = """
+WITH m AS (
+  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+)
+SELECT l_returnflag, metric, count(*) AS n_rows,
+       CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+FROM m GROUP BY l_returnflag, metric
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (`operators/decontam.py`): a 5%
+    deterministic slice of documents plays the benchmark set; every
+    other doc sharing >= 2 distinct lowercased 8-gram(s) with it is
+    flagged with its overlap count — the rows a training pipeline
+    drops before tokenization."""
+    from data_ingestion_resolution_platform_spark.operators.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").withColumn("text", F.lower(F.col("text")))
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return decontaminate(corpus, bench, n=8, min_overlap=2)
+
+
+SQL_DECONTAM = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - 7),
+           i -> array_to_string(t[i:i+7], ' ')))) AS g
+  FROM toks WHERE len(t) >= 8
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+SELECT doc_id, count(*) AS n_shared
+FROM grams JOIN bench USING (g)
+WHERE doc_id % 20 <> 0
+GROUP BY doc_id
+HAVING count(*) >= 2
+"""
+
+
 def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof join under the driver gate: events (big, hot keys)
     ⋈ customer (small but above broadcast size at scale) through
@@ -2309,6 +2404,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_join": q_bucketed_join,
     "zorder_prune_scan": q_zorder_prune_scan,
     "skew_salted_join": q_skew_salted_join,
+    "decontaminate": q_decontaminate,
+    "events_cube": q_events_cube,
+    "lineitem_unpivot": q_lineitem_unpivot,
     # rows-only (non-SQL-expressible: Arrow pandas-UDF plumbing)
     "multimodal_features": q_multimodal_features,
     # real PPM/WAV decode — oracled via closed-form feature arithmetic
@@ -2370,6 +2468,9 @@ ORACLES: dict[str, str] = {
     "bucketed_join": SQL_BUCKETED_JOIN,
     "zorder_prune_scan": SQL_ZORDER_PRUNE,
     "skew_salted_join": SQL_SKEW_SALTED_JOIN,
+    "decontaminate": SQL_DECONTAM,
+    "events_cube": SQL_EVENTS_CUBE,
+    "lineitem_unpivot": SQL_UNPIVOT,
     "corpus_prep": _corpus_prep_sql(),
     "train_split": SQL_TRAIN_SPLIT,
     "shard_packing": SQL_SHARD_PACKING,

@@ -553,12 +553,19 @@ class MorLakeTable:
         keys: Sequence[str],
         lsn_col: str,
         compact_every: int | None = None,
+        cluster_by: Sequence[str] | None = None,
+        cluster_files: int = 16,
     ):
         self.spark = spark
         self.root = root
         self.keys = list(keys)
         self.lsn_col = lsn_col
         self.compact_every = compact_every
+        # z-order the base at compaction time (Iceberg OPTIMIZE ZORDER):
+        # deltas stay fast appends; every compaction re-tightens per-file
+        # bounds on all clustered dims for the footer-stats pruner
+        self.cluster_by = list(cluster_by) if cluster_by else None
+        self.cluster_files = cluster_files
         os.makedirs(root, exist_ok=True)
         self.ledger = _EpochLedger(root)
 
@@ -686,7 +693,16 @@ class MorLakeTable:
             return {"mode": "compact", "noop": True}
         snapshot = self.read()
         v = m["base_v"] + 1
-        snapshot.write.mode("overwrite").parquet(self._base_dir(v))
+        if self.cluster_by:
+            from data_ingestion_resolution_platform_spark.sources.clustering import (
+                write_clustered,
+            )
+
+            write_clustered(
+                snapshot, self._base_dir(v), self.cluster_by, n_files=self.cluster_files
+            )
+        else:
+            snapshot.write.mode("overwrite").parquet(self._base_dir(v))
         retired = m["deltas"]
         new_m = {"base_v": v, "deltas": [], "next_seq": m["next_seq"]}
         self._write_manifest(new_m)

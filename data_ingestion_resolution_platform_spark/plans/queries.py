@@ -2343,6 +2343,127 @@ GROUP BY c_mktsegment
 
 
 # --------------------------------------------------------------------------
+# Lexical retrieval: inverted index / BM25 / vocabulary head
+# --------------------------------------------------------------------------
+
+# Fixed probe queries over the synthetic corpus vocabulary (seeded word
+# salads — see TESTDATA.md); deterministic across engines.
+BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "spark merge batch"),
+    (1, "customer query window"),
+    (2, "vector stream group"),
+]
+BM25_K = 10
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per probe query over the documents corpus.
+
+    Query terms broadcast against the exploded corpus BEFORE the tf
+    aggregation — shuffle volume is proportional to query-term hits,
+    not corpus size (operators/search.py).
+    """
+    from data_ingestion_resolution_platform_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERIES, k=BM25_K)
+
+
+def _bm25_sql() -> str:
+    import re as _re
+
+    from data_ingestion_resolution_platform_spark.operators.search import (
+        BM25_B,
+        BM25_K1,
+        TOKEN_SPLIT_REGEX,
+    )
+
+    rows = []
+    for qid, qtext in BM25_QUERIES:
+        seen = set()
+        for t in _re.split(TOKEN_SPLIT_REGEX, qtext.lower()):
+            if t and t not in seen:
+                seen.add(t)
+                rows.append(f"({qid}, '{t}')")
+    values = ", ".join(rows)
+    split = f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'), x -> x <> '')"
+    k1, b = BM25_K1, BM25_B
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({split}) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, len({split}) AS dl FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+q(query_id, term) AS (VALUES {values}),
+hits AS (
+  SELECT q.query_id, t.term, t.doc_id, count(*) AS tf
+  FROM toks t JOIN q ON t.term = q.term
+  GROUP BY 1, 2, 3
+),
+dfreq AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT term, doc_id FROM hits) GROUP BY term
+),
+scored AS (
+  SELECT h.query_id, h.doc_id,
+         round(sum(
+           ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * h.tf * {k1 + 1.0}
+           / (h.tf + {k1} * ({1.0 - b} + {b} * d.dl / s.avgdl))
+         ), 4) AS score
+  FROM hits h
+  JOIN dfreq f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {BM25_K}
+"""
+
+
+SQL_BM25_SEARCH = _bm25_sql()
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 terms by collection frequency."""
+    from data_ingestion_resolution_platform_spark.operators.search import vocab_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_topk(docs, k=100)
+
+
+def _vocab_sql() -> str:
+    from data_ingestion_resolution_platform_spark.operators.search import (
+        TOKEN_SPLIT_REGEX,
+    )
+
+    split = f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'), x -> x <> '')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({split}) AS term FROM documents
+),
+agg AS (
+  SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+  FROM toks GROUP BY term
+)
+SELECT row_number() OVER (ORDER BY cf DESC, term) AS rank, term, cf, df
+FROM agg
+ORDER BY cf DESC, term
+LIMIT 100
+"""
+
+
+SQL_VOCAB_TOPK = _vocab_sql()
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2411,6 +2532,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     # real PPM/WAV decode — oracled via closed-form feature arithmetic
     "media_decode": q_media_decode,
+    "bm25_search": q_bm25_search,
+    "vocab_topk": q_vocab_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -2477,4 +2600,6 @@ ORACLES: dict[str, str] = {
     "stratified_sample": _stratified_sql(),
     "pii_redaction": SQL_PII_REDACTION,
     "media_decode": SQL_MEDIA_DECODE,
+    "bm25_search": SQL_BM25_SEARCH,
+    "vocab_topk": SQL_VOCAB_TOPK,
 }

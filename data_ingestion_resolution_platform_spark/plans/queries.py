@@ -112,6 +112,79 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_apply_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-image (Debezium-style) feed → final state.
+
+    Deterministically masks U-event columns to NULL (lsn-modulus masks)
+    so updates patch only some fields; ``apply_patches`` folds them in
+    ONE hash aggregation (operators/cdc.py). The oracle replicates the
+    semantics through an independent window-replay formulation.
+    """
+    from data_ingestion_resolution_platform_spark.operators.cdc import apply_patches
+
+    feed = events_as_change_feed(spark, sf_dir)
+    is_u = F.col("op") == "U"
+    lsn = F.col("lsn")
+
+    def mask(c: str, mod: int):
+        return F.when(is_u & (lsn % mod != 0), F.lit(None)).otherwise(F.col(c))
+
+    feed = (
+        feed.withColumn("ts", mask("ts", 7))
+        .withColumn("event_type", mask("event_type", 2))
+        .withColumn("value", mask("value", 3))
+        .withColumn("props", mask("props", 5))
+    )
+    out = apply_patches(
+        feed, ["user_id"], "lsn", ["ts", "event_type", "value", "props"]
+    )
+    return out.select(
+        "user_id",
+        "lsn",
+        "ts",
+        "event_type",
+        "value",
+        F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
+        .cast("long")
+        .alias("props_k"),
+    )
+
+
+SQL_CDC_PATCHES = f"""
+WITH feed AS ({_FEED_SQL}),
+masked AS (
+  SELECT lsn, op, user_id,
+         CASE WHEN op = 'U' AND lsn % 7 <> 0 THEN NULL ELSE ts END AS ts,
+         CASE WHEN op = 'U' AND lsn % 2 <> 0 THEN NULL ELSE event_type END AS event_type,
+         CASE WHEN op = 'U' AND lsn % 3 <> 0 THEN NULL ELSE value END AS value,
+         CASE WHEN op = 'U' AND lsn % 5 <> 0 THEN NULL ELSE props END AS props
+  FROM feed
+),
+w AS (
+  SELECT *,
+         max(CASE WHEN op = 'D' THEN lsn END) OVER (PARTITION BY user_id) AS last_d,
+         max(CASE WHEN op = 'I' THEN lsn END) OVER (PARTITION BY user_id) AS last_i
+  FROM masked
+),
+survivors AS (
+  SELECT * FROM w
+  WHERE op <> 'D'
+    AND lsn > coalesce(last_d, -1)
+    AND lsn >= coalesce(last_i, -1)
+)
+SELECT user_id,
+       max(lsn) AS lsn,
+       max_by(ts, CASE WHEN ts IS NOT NULL THEN lsn END) AS ts,
+       max_by(event_type, CASE WHEN event_type IS NOT NULL THEN lsn END) AS event_type,
+       max_by(value, CASE WHEN value IS NOT NULL THEN lsn END) AS value,
+       CAST(regexp_extract(
+         max_by(props, CASE WHEN props IS NOT NULL THEN lsn END),
+         '"k":\\s*(\\d+)', 1) AS BIGINT) AS props_k
+FROM survivors
+GROUP BY user_id
+"""
+
+
 def q_cdc_resolve_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-writer-wins (the reference's pick-first, A4/W1)."""
     feed = events_as_change_feed(spark, sf_dir).drop("props")
@@ -2469,6 +2542,7 @@ SQL_VOCAB_TOPK = _vocab_sql()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_apply_changes": q_cdc_apply_changes,
+    "cdc_apply_patches": q_cdc_apply_patches,
     "cdc_resolve_first": q_cdc_resolve_first,
     "cdc_conflicts": q_cdc_conflicts,
     "cdc_with_choices": q_cdc_with_choices,
@@ -2538,6 +2612,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "cdc_apply_changes": SQL_CDC_APPLY,
+    "cdc_apply_patches": SQL_CDC_PATCHES,
     "cdc_resolve_first": SQL_CDC_FIRST,
     "cdc_conflicts": SQL_CDC_CONFLICTS,
     "cdc_with_choices": SQL_CDC_CHOICES,

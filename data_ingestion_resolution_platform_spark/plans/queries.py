@@ -1159,6 +1159,94 @@ GROUP BY 1, 2
 """
 
 
+def _file_stream(spark: SparkSession, sf_dir: str, name: str, n_files: int = 4):
+    """Materialize the events table as an n-file parquet dir and open it
+    as a bounded file-stream source (2 files/trigger ⇒ ≥2 micro-batches
+    exercise cross-batch state)."""
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = f"/tmp/dirp_stream_src_{name}_{tag}"
+    shutil.rmtree(src, ignore_errors=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(n_files).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    return stream
+
+
+def _run_to_memory(df, name_prefix: str, mode: str):
+    """Drain a bounded stream (availableNow) into a memory-sink table
+    and return it as a batch DataFrame. Driver-gate harness only — the
+    production sink is ``foreachBatch`` → lake MERGE
+    (streaming/pipeline.py); memory sink is valid here because the
+    result set is a bounded aggregate/distinct, not the raw feed."""
+    import shutil
+    import uuid
+
+    run = uuid.uuid4().hex[:10]
+    name = f"{name_prefix}_{run}"
+    ckpt = f"/tmp/dirp_stream_ckpt_{name}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    return spark.table(name)
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 under the driver gate: a REAL Structured Streaming query —
+    file-stream source (2 files/micro-batch), event-time watermark,
+    tumbling-window count aggregation, availableNow drain — whose final
+    state must equal the batch SQL oracle exactly. Watermark delay
+    exceeds the data's time span so no window is dropped regardless of
+    file arrival order (late-data *dropping* is pytest-covered where
+    arrival order is controlled; the driver gate needs determinism)."""
+    from data_ingestion_resolution_platform_spark.operators.sessions import tumbling_agg
+
+    stream = _file_stream(spark, sf_dir, "tumb")
+    # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
+    # (session.py) so the round-trip cast is value-preserving
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = tumbling_agg(
+        stream.withWatermark("ts", "3650 days"), "ts", 3600,
+        group_cols=["event_type"],
+    )
+    agg = agg.withColumn("w_start", F.col("w_start").cast("timestamp_ntz"))
+    return _run_to_memory(agg, "stream_tumb", "complete")
+
+
+SQL_STREAM_TUMBLING = SQL_TUMBLING
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stateful streaming dedup under the driver gate:
+    ``dropDuplicates`` keyed state across micro-batches (exactly-once
+    distinct emission in append mode), drained with availableNow.
+    Output is order-independent (the distinct key set), so the batch
+    DISTINCT oracle is exact."""
+    stream = _file_stream(spark, sf_dir, "dedup")
+    dd = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _run_to_memory(dd, "stream_dedup", "append")
+
+
+SQL_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity gap) per user:
     lag + cumulative-sum composition, one shuffle."""
@@ -2574,6 +2662,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_exact": q_dedup_embedding_exact,
     "asof_purchase_click": q_asof_purchase_click,
     "events_tumbling": q_events_tumbling,
+    "stream_tumbling": q_stream_tumbling,
+    "stream_dedup": q_stream_dedup,
     "events_session_window": q_events_session_window,
     "events_sessionize": q_events_sessionize,
     "events_json_props": q_events_json_props,
@@ -2646,6 +2736,8 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_exact": SQL_DEDUP_EMB_EXACT,
     "asof_purchase_click": SQL_ASOF,
     "events_tumbling": SQL_TUMBLING,
+    "stream_tumbling": SQL_STREAM_TUMBLING,
+    "stream_dedup": SQL_STREAM_DEDUP,
     "events_session_window": SQL_SESSION_WINDOW,
     "events_sessionize": SQL_SESSIONIZE,
     "events_json_props": SQL_JSON_PROPS,

@@ -2245,6 +2245,43 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_bloom_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index point lookup under the driver gate: events written
+    16 files hash-scattered on ``user_id`` (so min/max stats CANNOT
+    prune an equality probe), per-file Bloom filters built in one
+    distributed aggregation, then a ``user_id = 42`` lookup planned
+    through the manifest (``sources/bloom_index.py``). The oracle is
+    the same predicate over the raw view — the hash proves pruning
+    never changes results; the report (asserted in tests) proves files
+    were actually skipped."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.sources.bloom_index import (
+        bloom_pruned_scan,
+        build_bloom_index,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_bloom_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    data_dir = os.path.join(root, "data")
+    # hash-partition BY user_id: each user lands in one file, but every
+    # file's [min, max] user_id envelope spans the whole domain — footer
+    # stats cannot prune an equality probe; the bloom filter must
+    ev.repartition(16, "user_id").write.parquet(data_dir)
+    build_bloom_index(spark, root, [data_dir], "user_id")
+    df, _report = bloom_pruned_scan(spark, root, [data_dir], "user_id", 42)
+    return df.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+SQL_BLOOM_PRUNE = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events WHERE user_id = 42
+"""
+
+
 def q_lake_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-style data skipping under the driver gate: load the
     events table into a lake table range-clustered on ``ts`` (16 files,
@@ -2685,6 +2722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "ann_ivf": q_ann_ivf,
     "lake_prune_scan": q_lake_prune_scan,
+    "bloom_prune_scan": q_bloom_prune_scan,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "bucketed_join": q_bucketed_join,
     "zorder_prune_scan": q_zorder_prune_scan,
@@ -2754,6 +2792,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf": _ivf_sql(),
     "dedup_embedding": _emb_lsh_sql(),
     "lake_prune_scan": SQL_PRUNE_SCAN,
+    "bloom_prune_scan": SQL_BLOOM_PRUNE,
     "cdc_schema_evolution": SQL_SCHEMA_EVOLUTION,
     "bucketed_join": SQL_BUCKETED_JOIN,
     "zorder_prune_scan": SQL_ZORDER_PRUNE,

@@ -92,3 +92,72 @@ def connected_components(
             break
         prev_sum = new_sum
     return labels
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    id_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank ⇒ (node, rank); dangling mass
+    redistributed uniformly (the classic formulation).
+
+        r_{i+1}(v) = (1-d)/N + d·(Σ_{u→v} r_i(u)/out(u) + dangling_i/N)
+
+    Spark-first: each iteration is ONE shuffle (edge join on src is
+    map-side against the broadcast rank vector when |V| is broadcast-
+    able; groupBy dst aggregates contributions with map-side partials).
+    The two global scalars per iteration (N once, dangling mass each
+    round) are 1-row aggregates cross-joined via broadcast — never
+    collected. ``localCheckpoint`` truncates lineage per iteration so
+    the plan stays O(1) deep for any iteration count (use reliable
+    ``checkpoint`` on a cluster that must survive executor loss).
+
+    Edges are deduplicated; out-degree counts distinct successors.
+    At 10^10 edges each iteration shuffles |E| (src, contribution)
+    pairs — the canonical Pregel-on-DataFrames cost — and skew on
+    celebrity dst nodes is partial-aggregated map-side.
+    """
+    v = nodes.select(F.col(id_col).alias("node")).distinct()
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    n_df = v.agg(F.count("*").alias("n"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("out"))
+    ranks = v.crossJoin(F.broadcast(n_df)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iterations):
+        r = ranks.join(outdeg, ranks["node"] == outdeg["src"], "left").select(
+            "node", "rank", "out"
+        )
+        dangling = r.filter(F.col("out").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contrib = (
+            r.filter(F.col("out").isNotNull())
+            .join(e, r["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            v.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / F.col("n"))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -2245,6 +2245,66 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over a deterministic customer graph (nodes =
+    custkeys, edges derived from orders: ``o_custkey → (o_orderkey*7)
+    mod N``). 5 fixed iterations, dangling mass redistributed; each
+    iteration one shuffle (operators/graph.py). Oracle = the same
+    recurrence unrolled as chained CTEs."""
+    from data_ingestion_resolution_platform_spark.operators.graph import pagerank
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nodes = cust.select(F.col("c_custkey").alias("node"))
+    n_df = cust.agg(F.count("*").alias("__n"))
+    edges = orders.crossJoin(F.broadcast(n_df)).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") * 7 % F.col("__n")).alias("dst"),
+    )
+    pr = pagerank(
+        nodes, edges, iterations=PAGERANK_ITERS, damping=PAGERANK_DAMPING
+    )
+    return pr.select("node", F.round("rank", 10).alias("rank"))
+
+
+def _pagerank_sql() -> str:
+    d = PAGERANK_DAMPING
+    parts = [
+        "n AS (SELECT count(*) AS n FROM customer)",
+        "e AS (SELECT DISTINCT o_custkey AS src, (o_orderkey * 7) % (SELECT n FROM n) AS dst FROM orders)",
+        "outdeg AS (SELECT src, count(*) AS out FROM e GROUP BY src)",
+        "r0 AS (SELECT c_custkey AS node, 1.0 / (SELECT n FROM n) AS rank FROM customer)",
+    ]
+    for i in range(PAGERANK_ITERS):
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM r{i} "
+            f"LEFT JOIN outdeg ON r{i}.node = outdeg.src WHERE out IS NULL)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, sum(rank / out) AS inflow "
+            f"FROM r{i} JOIN outdeg ON r{i}.node = outdeg.src "
+            f"JOIN e ON r{i}.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i + 1} AS (SELECT r0.node, "
+            f"{1.0 - d} / (SELECT n FROM n) + {d} * ("
+            f"coalesce(c{i}.inflow, 0) + (SELECT dm FROM d{i}) / (SELECT n FROM n)"
+            f") AS rank FROM r0 LEFT JOIN c{i} ON r0.node = c{i}.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, round(rank, 10) AS rank FROM r{PAGERANK_ITERS}"
+    )
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
 def q_bloom_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-index point lookup under the driver gate: events written
     16 files hash-scattered on ``user_id`` (so min/max stats CANNOT
@@ -2723,6 +2783,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "lake_prune_scan": q_lake_prune_scan,
     "bloom_prune_scan": q_bloom_prune_scan,
+    "pagerank": q_pagerank,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "bucketed_join": q_bucketed_join,
     "zorder_prune_scan": q_zorder_prune_scan,
@@ -2793,6 +2854,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding": _emb_lsh_sql(),
     "lake_prune_scan": SQL_PRUNE_SCAN,
     "bloom_prune_scan": SQL_BLOOM_PRUNE,
+    "pagerank": SQL_PAGERANK,
     "cdc_schema_evolution": SQL_SCHEMA_EVOLUTION,
     "bucketed_join": SQL_BUCKETED_JOIN,
     "zorder_prune_scan": SQL_ZORDER_PRUNE,

@@ -33,6 +33,7 @@ def interval_join(
     lo_col: str,
     hi_col: str,
     bucket_width: float | None = None,
+    small_right: bool = False,
 ) -> DataFrame:
     """Inner-join ``left`` rows to ``right`` intervals containing them.
 
@@ -53,12 +54,23 @@ def interval_join(
         "_rj_bucket",
         F.explode(F.sequence(F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w))),
     )
-    # pin the build side to the exploded-intervals frame: with a local
-    # interval relation Catalyst has no stats for it and may elect to
-    # broadcast the *probe* side instead (measured BuildLeft on the
-    # events scan) — harmless on a laptop, fatal when the probe side is
-    # the 100 TB table. shuffle_hash keeps it a bucket-partitioned hash
-    # join built on the interval side at every scale.
+    # ``small_right``: the exploded interval side fits in a broadcast —
+    # BroadcastHashJoin on the bucket id means the (possibly 100 TB)
+    # probe side NEVER shuffles; this is the bucketed strategy's fast
+    # path whenever the interval table is dimension-sized.
+    if small_right:
+        return (
+            lb.join(F.broadcast(rb), "_rj_bucket", "inner")
+            .filter(contained)
+            .drop("_rj_bucket")
+        )
+    # both sides large: pin the build side to the exploded-intervals
+    # frame — with a local interval relation Catalyst has no stats for
+    # it and may elect to broadcast the *probe* side instead (measured
+    # BuildLeft on the events scan) — harmless on a laptop, fatal when
+    # the probe side is the 100 TB table. shuffle_hash keeps it a
+    # bucket-partitioned hash join built on the interval side at every
+    # scale.
     return (
         lb.join(rb.hint("shuffle_hash"), "_rj_bucket", "inner")
         .filter(contained)

@@ -562,7 +562,9 @@ def q_events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = spark.createDataFrame(
         _VALUE_BANDS, "band_id long, band string, lo double, hi double"
     )
-    joined = interval_join(ev, bands, "value", "lo", "hi", bucket_width=50.0)
+    joined = interval_join(
+        ev, bands, "value", "lo", "hi", bucket_width=50.0, small_right=True
+    )
     return joined.groupBy("band_id", "band").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),

@@ -1249,6 +1249,38 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stream-static enrichment under the driver gate: the event
+    stream joins a static broadcast dimension (customer segment) inside
+    each micro-batch — the standard CDC enrichment shape (dimension
+    lookup without shuffling the stream) — then feeds a windowless
+    grouped count drained in complete mode. Oracle = the batch join."""
+    stream = _file_stream(spark, sf_dir, "enrich")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = stream.join(
+        F.broadcast(cust),
+        stream["user_id"] == cust["c_custkey"],
+        "left",
+    ).select(
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        "event_type",
+    )
+    agg = joined.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return _run_to_memory(agg, "stream_enrich", "complete")
+
+
+SQL_STREAM_ENRICH = """
+SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment, event_type,
+       count(*) AS n_events
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity gap) per user:
     lag + cumulative-sum composition, one shuffle."""
@@ -2763,6 +2795,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": q_events_tumbling,
     "stream_tumbling": q_stream_tumbling,
     "stream_dedup": q_stream_dedup,
+    "stream_enrich": q_stream_enrich,
     "events_session_window": q_events_session_window,
     "events_sessionize": q_events_sessionize,
     "events_json_props": q_events_json_props,
@@ -2839,6 +2872,7 @@ ORACLES: dict[str, str] = {
     "events_tumbling": SQL_TUMBLING,
     "stream_tumbling": SQL_STREAM_TUMBLING,
     "stream_dedup": SQL_STREAM_DEDUP,
+    "stream_enrich": SQL_STREAM_ENRICH,
     "events_session_window": SQL_SESSION_WINDOW,
     "events_sessionize": SQL_SESSIONIZE,
     "events_json_props": SQL_JSON_PROPS,

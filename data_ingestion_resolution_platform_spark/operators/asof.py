@@ -121,3 +121,88 @@ def asof_join(
         *[F.col(f"__asof_l.{c}").alias(c) for c in lcols],
         *[F.col(f"__m.{c}").alias(c) for c in rcols],
     )
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """:func:`asof_join` semantics through the cogrouped-pandas UDF
+    surface: ``left.groupBy(keys).cogroup(right.groupBy(keys))
+    .applyInPandas(merge_asof)`` — the §2.10 member the union+window
+    plan doesn't exercise.
+
+    Per key group both sides arrive as Arrow batches; the vectorized
+    ``pd.merge_asof`` (backward) does the per-group work. Same output
+    as the window plan (property-tested): NULL right timestamps never
+    match, NULL-ts left rows pass through unmatched.
+
+    Use the window plan by default — one shuffle, no Python. This path
+    exists for (a) API parity with engines whose as-of is UDF-based and
+    (b) per-group logic that outgrows window expressions; cost is one
+    shuffle per side plus Arrow transfer.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    keys = list(on)
+    rcols = [c for c in (right_cols or right.columns) if c not in keys]
+    l_fields = list(left.schema.fields)
+    r_schema = right.schema
+    out_fields = l_fields + [
+        T.StructField(c, r_schema[c].dataType, True) for c in rcols
+    ]
+    out_schema = T.StructType(out_fields)
+    l_names = [f.name for f in l_fields]
+    r_merge_cols = list(dict.fromkeys([right_ts, *rcols]))
+    # columns materialized by reindex on empty matches come back float64
+    # NaN; Arrow refuses double→timestamp, so coerce them to NaT
+    ts_like = {
+        c
+        for c in rcols
+        if isinstance(r_schema[c].dataType, (T.TimestampType, T.TimestampNTZType))
+    }
+
+    def merge(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        lg = lg[l_names]
+        matched = lg[lg[left_ts].notna()].sort_values(left_ts, kind="mergesort")
+        passthru = lg[lg[left_ts].isna()]
+        rg = rg[r_merge_cols][rg[right_ts].notna()].sort_values(
+            right_ts, kind="mergesort"
+        )
+        if len(matched) and len(rg):
+            out = pd.merge_asof(
+                matched,
+                rg,
+                left_on=left_ts,
+                right_on=right_ts,
+                direction="backward",
+                suffixes=("", "__r"),
+            )
+            # merge_asof keeps the right key column; if it collides with
+            # a left name pandas suffixed it — normalize to rcols order
+            cols = list(matched.columns) + [
+                (c if c in out.columns else f"{c}__r") for c in rcols
+            ]
+            out = out[cols]
+            out.columns = l_names + rcols
+        else:
+            out = matched.reindex(columns=l_names + rcols)
+        if len(passthru):
+            passthru = passthru.reindex(columns=l_names + rcols)
+            out = pd.concat([out, passthru], ignore_index=True)
+        for c in ts_like:
+            if not pd.api.types.is_datetime64_any_dtype(out[c]):
+                out[c] = pd.to_datetime(out[c])
+        return out
+
+    return (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
+        .applyInPandas(merge, out_schema)
+    )

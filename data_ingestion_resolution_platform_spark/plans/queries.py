@@ -1128,6 +1128,30 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same as-of join through the §2.10 cogrouped-pandas surface
+    (``cogroup(...).applyInPandas`` + vectorized ``pd.merge_asof``);
+    shares the window plan's oracle — identical semantics, different
+    physical strategy (operators/asof.py::asof_join_cogroup)."""
+    from data_ingestion_resolution_platform_spark.operators.asof import (
+        asof_join_cogroup,
+    )
+    from data_ingestion_resolution_platform_spark.operators.cdc import resolve_latest
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    clicks_u = resolve_latest(clicks, ["user_id", "c_ts"], "c_event_id")
+    return asof_join_cogroup(
+        purchases, clicks_u, on=["user_id"], left_ts="p_ts", right_ts="c_ts",
+        right_cols=["c_event_id", "c_ts"],
+    )
+
+
 SQL_ASOF = """
 WITH clicks_u AS (
   SELECT user_id, c_ts, max(c_event_id) AS c_event_id
@@ -2279,6 +2303,59 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ranking WITHOUT a single-task window: customer spend
+    deciles via the distributed two-phase prefix sum
+    (operators/packing.py) — range-partition on the order key,
+    per-partition offsets, parallel intra-partition cumsum. The naive
+    ``ntile(10) OVER (ORDER BY ...)`` formulation moves every row to
+    ONE reducer; this plan keeps the sort range-parallel at any scale.
+    Decile boundaries use pure integer arithmetic (``(10·rank) div N``)
+    so both engines agree bit-for-bit."""
+    from data_ingestion_resolution_platform_spark.operators.packing import (
+        global_prefix_sum,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spend")
+    )
+    ranked = global_prefix_sum(
+        spend.withColumn("neg_spend", -F.col("spend")).withColumn(
+            "one", F.lit(1).cast("long")
+        ),
+        order_cols=["neg_spend", "o_custkey"],
+        value_col="one",
+        out_col="rank0",
+    )
+    n_df = spend.agg(F.count("*").alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_df))
+        .select(
+            "o_custkey",
+            "spend",
+            (F.expr("(10 * rank0) div __n") + 1).alias("decile"),
+        )
+    )
+
+
+SQL_SPEND_DECILES = """
+WITH s AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY spend DESC, o_custkey) AS rn,
+         count(*) OVER () AS n
+  FROM s
+)
+SELECT o_custkey, spend, (10 * (rn - 1)) // n + 1 AS decile FROM r
+"""
+
+
 PAGERANK_ITERS = 5
 PAGERANK_DAMPING = 0.85
 
@@ -2792,6 +2869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "dedup_embedding_exact": q_dedup_embedding_exact,
     "asof_purchase_click": q_asof_purchase_click,
+    "asof_cogroup": q_asof_cogroup,
     "events_tumbling": q_events_tumbling,
     "stream_tumbling": q_stream_tumbling,
     "stream_dedup": q_stream_dedup,
@@ -2819,6 +2897,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_prune_scan": q_lake_prune_scan,
     "bloom_prune_scan": q_bloom_prune_scan,
     "pagerank": q_pagerank,
+    "spend_deciles": q_spend_deciles,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "bucketed_join": q_bucketed_join,
     "zorder_prune_scan": q_zorder_prune_scan,
@@ -2869,6 +2948,7 @@ ORACLES: dict[str, str] = {
     "ann_topk": SQL_ANN_TOPK,
     "dedup_embedding_exact": SQL_DEDUP_EMB_EXACT,
     "asof_purchase_click": SQL_ASOF,
+    "asof_cogroup": SQL_ASOF,
     "events_tumbling": SQL_TUMBLING,
     "stream_tumbling": SQL_STREAM_TUMBLING,
     "stream_dedup": SQL_STREAM_DEDUP,
@@ -2891,6 +2971,7 @@ ORACLES: dict[str, str] = {
     "lake_prune_scan": SQL_PRUNE_SCAN,
     "bloom_prune_scan": SQL_BLOOM_PRUNE,
     "pagerank": SQL_PAGERANK,
+    "spend_deciles": SQL_SPEND_DECILES,
     "cdc_schema_evolution": SQL_SCHEMA_EVOLUTION,
     "bucketed_join": SQL_BUCKETED_JOIN,
     "zorder_prune_scan": SQL_ZORDER_PRUNE,

@@ -1682,6 +1682,53 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_pipeline_epoch_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7/A7 under the driver gate: the epoch status state machine.
+    Replays the derived feed through the full pipeline (3 LSN-ranged
+    epochs) and returns ``status_history`` from the durable lineage
+    table — terminal status + conflict count per epoch. The oracle
+    recomputes each epoch's conflicted-key count (distinct
+    (lang, sha256(content)) signatures per (repo, path) within the
+    epoch) straight from the feed in SQL."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.streaming.lineage import (
+        status_history,
+    )
+    from data_ingestion_resolution_platform_spark.streaming.pipeline import (
+        CDCPipeline,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wh = f"/tmp/dirp_pipeline_status_{tag}"
+    shutil.rmtree(wh, ignore_errors=True)
+    feed = _derived_code_feed(spark, sf_dir)
+    pipe = CDCPipeline(spark, feed_dir="unused", warehouse=wh)
+    pipe.replay_bounded(feed, epochs=3)
+    return status_history(pipe.lineage.read())
+
+
+SQL_PIPELINE_STATUS = f"""
+WITH feed AS ({_DERIVED_FEED_SQL}),
+b AS (SELECT min(lsn) AS lo, max(lsn) AS hi FROM feed),
+sp AS (SELECT lo, greatest((hi - lo + 1) // 3, 1) AS span FROM b),
+e AS (
+  SELECT f.*, least((f.lsn - sp.lo) // sp.span, 2) AS epoch
+  FROM feed f CROSS JOIN sp
+),
+k AS (
+  SELECT epoch, repo, path,
+         count(DISTINCT lang || '|' || sha256(content)) AS nsig
+  FROM e GROUP BY 1, 2, 3
+)
+SELECT epoch,
+       CASE WHEN sum(CASE WHEN nsig > 1 THEN 1 ELSE 0 END) > 0
+            THEN 'NEEDS_REVIEW' ELSE 'COMPLETED' END AS status,
+       CAST(sum(CASE WHEN nsig > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_conflicts
+FROM k GROUP BY epoch
+"""
+
+
 def q_pipeline_maintained_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's incrementally-maintained metrics table under the
     driver gate: replay the derived change feed with
@@ -2882,6 +2929,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "pipeline_cdc_e2e": q_pipeline_cdc_e2e,
     "pipeline_maintained_stats": q_pipeline_maintained_stats,
+    "pipeline_epoch_status": q_pipeline_epoch_status,
     "mor_merge_read": q_mor_merge_read,
     "table_changes": q_table_changes,
     "cdf_replication": q_cdf_replication,
@@ -2961,6 +3009,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": _simhash_sql(),
     "pipeline_cdc_e2e": SQL_PIPELINE_E2E,
     "pipeline_maintained_stats": SQL_PIPELINE_STATS,
+    "pipeline_epoch_status": SQL_PIPELINE_STATUS,
     "mor_merge_read": SQL_PIPELINE_E2E,
     "table_changes": _table_changes_sql(),
     "cdf_replication": SQL_PIPELINE_E2E,

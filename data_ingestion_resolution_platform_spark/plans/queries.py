@@ -2350,6 +2350,57 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality features per document
+    (operators/quality.py): distinct-token ratio, top-token and
+    top-bigram fractions — exact integer counts divided once, so the
+    oracle agrees bit-for-bit."""
+    from data_ingestion_resolution_platform_spark.operators.quality import (
+        repetition_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+def _repetition_sql() -> str:
+    from data_ingestion_resolution_platform_spark.operators.search import (
+        TOKEN_SPLIT_REGEX,
+    )
+
+    split = f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'), x -> x <> '')"
+    return f"""
+WITH d AS (SELECT doc_id, {split} AS t FROM documents),
+toks AS (SELECT doc_id, unnest(t) AS tok FROM d),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+ts AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_tok
+  FROM tc GROUP BY doc_id
+),
+bgs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM d
+),
+bt AS (
+  SELECT doc_id, max(c) AS top_bg FROM (
+    SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY 1, 2
+  ) GROUP BY doc_id
+)
+SELECT ts.doc_id,
+       CAST(ts.n_tokens AS BIGINT) AS n_tokens,
+       ts.n_distinct / CAST(ts.n_tokens AS DOUBLE) AS distinct_ratio,
+       ts.top_tok / CAST(ts.n_tokens AS DOUBLE) AS top_token_frac,
+       CASE WHEN ts.n_tokens > 1
+            THEN coalesce(bt.top_bg, 0) / CAST(ts.n_tokens - 1 AS DOUBLE)
+       END AS top_bigram_frac
+FROM ts LEFT JOIN bt ON ts.doc_id = bt.doc_id
+"""
+
+
+SQL_REPETITION = _repetition_sql()
+
+
 def q_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ranking WITHOUT a single-task window: customer spend
     deciles via the distributed two-phase prefix sum
@@ -2946,6 +2997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune_scan": q_bloom_prune_scan,
     "pagerank": q_pagerank,
     "spend_deciles": q_spend_deciles,
+    "repetition_stats": q_repetition_stats,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "bucketed_join": q_bucketed_join,
     "zorder_prune_scan": q_zorder_prune_scan,
@@ -3021,6 +3073,7 @@ ORACLES: dict[str, str] = {
     "bloom_prune_scan": SQL_BLOOM_PRUNE,
     "pagerank": SQL_PAGERANK,
     "spend_deciles": SQL_SPEND_DECILES,
+    "repetition_stats": SQL_REPETITION,
     "cdc_schema_evolution": SQL_SCHEMA_EVOLUTION,
     "bucketed_join": SQL_BUCKETED_JOIN,
     "zorder_prune_scan": SQL_ZORDER_PRUNE,

@@ -430,6 +430,11 @@ HEADLINE = [
     "ann_topk",
     "order_percentiles",
     "events_value_bands",
+    "bm25_search",
+    "repetition_stats",
+    "pagerank",
+    "spend_deciles",
+    "local_supplier_volume",
 ]
 
 

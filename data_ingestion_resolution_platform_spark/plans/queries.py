@@ -382,6 +382,68 @@ SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM w WHERE rn = 1
 """
 
 
+def q_latest_order_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same LWW resolution through the EXPLICIT two-phase salt path
+    (``operators/skew.py::salted_latest``): phase 1 ``max_by`` per
+    (key, salt), phase 2 merge of ≤ n_salt partials — the plan that
+    bounds reducer state on a 10^7-row hot key. Same oracle as
+    ``latest_order_per_customer``: salting must be row-invisible."""
+    from data_ingestion_resolution_platform_spark.operators.cdc import resolve_latest
+
+    orders = _t(spark, sf_dir, "orders")
+    out = resolve_latest(
+        orders,
+        ["o_custkey"],
+        "o_orderdate",
+        tie_breakers=["o_orderkey"],
+        strategy="salted",
+    )
+    return out.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (region→nation→customer→orders→
+    lineitem→supplier) with the local-supplier condition — broadcast
+    dims, Catalyst join reordering, one revenue aggregation."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    j = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .filter(customer["c_nationkey"] == supplier["s_nationkey"])
+        .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .filter(region["r_name"] == "ASIA")
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_rows"))
+    )
+
+
+SQL_LOCAL_SUPPLIER = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: deterministic top-100 orders by price (tie-break by key)."""
     orders = _t(spark, sf_dir, "orders")
@@ -2947,6 +3009,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "latest_order_per_customer": q_latest_order_per_customer,
+    "latest_order_salted": q_latest_order_salted,
+    "local_supplier_volume": q_local_supplier_volume,
     "topk_orders": q_topk_orders,
     "distinct_union": q_distinct_union,
     "pricing_rollup": q_pricing_rollup,
@@ -3026,6 +3090,8 @@ ORACLES: dict[str, str] = {
     "semi_join_customers": SQL_SEMI,
     "anti_join_customers": SQL_ANTI,
     "latest_order_per_customer": SQL_LATEST_ORDER,
+    "latest_order_salted": SQL_LATEST_ORDER,
+    "local_supplier_volume": SQL_LOCAL_SUPPLIER,
     "topk_orders": SQL_TOPK,
     "distinct_union": SQL_UNION,
     "pricing_rollup": SQL_ROLLUP,

@@ -444,6 +444,30 @@ GROUP BY n_name
 """
 
 
+def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the ``spark.sql`` API surface:
+    orders priced above their customer's average. Catalyst decorrelates
+    the subquery into an aggregate + join — same physical plan family
+    as the hand-written window/join form, declared in pure SQL."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    # price > group avg, expressed multiply-through in DECIMAL so the
+    # comparison is exact integer-scaled arithmetic in both engines —
+    # a float avg() would make boundary rows engine-dependent
+    return spark.sql(_ABOVE_CUST_AVG_BODY.format(t="orders_v"))
+
+
+_ABOVE_CUST_AVG_BODY = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM {t} o
+WHERE CAST(o_totalprice AS DECIMAL(18,2))
+      * (SELECT count(*) FROM {t} i WHERE i.o_custkey = o.o_custkey)
+      > (SELECT sum(CAST(i.o_totalprice AS DECIMAL(18,2)))
+         FROM {t} i WHERE i.o_custkey = o.o_custkey)
+"""
+
+SQL_ABOVE_CUST_AVG = _ABOVE_CUST_AVG_BODY.format(t="orders")
+
+
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: deterministic top-100 orders by price (tie-break by key)."""
     orders = _t(spark, sf_dir, "orders")
@@ -3011,6 +3035,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_order_per_customer": q_latest_order_per_customer,
     "latest_order_salted": q_latest_order_salted,
     "local_supplier_volume": q_local_supplier_volume,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
     "topk_orders": q_topk_orders,
     "distinct_union": q_distinct_union,
     "pricing_rollup": q_pricing_rollup,
@@ -3092,6 +3117,7 @@ ORACLES: dict[str, str] = {
     "latest_order_per_customer": SQL_LATEST_ORDER,
     "latest_order_salted": SQL_LATEST_ORDER,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER,
+    "orders_above_cust_avg": SQL_ABOVE_CUST_AVG,
     "topk_orders": SQL_TOPK,
     "distinct_union": SQL_UNION,
     "pricing_rollup": SQL_ROLLUP,

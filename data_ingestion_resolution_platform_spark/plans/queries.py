@@ -1391,6 +1391,71 @@ GROUP BY 1, 2
 """
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + window frames: daily event counts per
+    type with missing days ZERO-FILLED via a scaffold join (sequence-
+    exploded day spine × distinct types — dimension-sized, broadcast;
+    the fact table never shuffles for the scaffold), then a 3-row
+    trailing moving average over an explicit window frame
+    (``rowsBetween``). Integer sums divided once ⇒ engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.agg(
+        F.date_trunc("DAY", F.min("ts")).alias("lo"),
+        F.date_trunc("DAY", F.max("ts")).alias("hi"),
+    ).select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    scaffold = days.crossJoin(types)
+    counts = ev.groupBy(
+        F.date_trunc("DAY", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    filled = scaffold.join(counts, ["day", "event_type"], "left").select(
+        "day", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return filled.select(
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        "event_type",
+        "n_events",
+        (
+            F.sum("n_events").over(w) / F.count(F.lit(1)).over(w)
+        ).alias("ma3"),
+    )
+
+
+SQL_GAPFILL = """
+WITH b AS (
+  SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+  FROM events
+),
+days AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b
+),
+types AS (SELECT DISTINCT event_type FROM events),
+scaffold AS (SELECT day, event_type FROM days CROSS JOIN types),
+counts AS (
+  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+filled AS (
+  SELECT s.day, s.event_type, coalesce(c.n, 0) AS n_events
+  FROM scaffold s LEFT JOIN counts c USING (day, event_type)
+)
+SELECT day, event_type, n_events,
+       CAST(sum(n_events) OVER w AS DOUBLE) / count(*) OVER w AS ma3
+FROM filled
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity gap) per user:
     lag + cumulative-sum composition, one shuffle."""
@@ -3058,6 +3123,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_click": q_asof_purchase_click,
     "asof_cogroup": q_asof_cogroup,
     "events_tumbling": q_events_tumbling,
+    "events_gapfill": q_events_gapfill,
     "stream_tumbling": q_stream_tumbling,
     "stream_dedup": q_stream_dedup,
     "stream_enrich": q_stream_enrich,
@@ -3142,6 +3208,7 @@ ORACLES: dict[str, str] = {
     "asof_purchase_click": SQL_ASOF,
     "asof_cogroup": SQL_ASOF,
     "events_tumbling": SQL_TUMBLING,
+    "events_gapfill": SQL_GAPFILL,
     "stream_tumbling": SQL_STREAM_TUMBLING,
     "stream_dedup": SQL_STREAM_DEDUP,
     "stream_enrich": SQL_STREAM_ENRICH,

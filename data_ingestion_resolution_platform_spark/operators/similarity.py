@@ -121,11 +121,47 @@ def ivf_topk(
     is a partition-pruned scan; here the same plan shape is an equi-join
     on the cell id.
     """
-    c = assign_cells(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)), vec_col,
-        n_cells, seed, portable,
-    ).withColumn("cq", quantize_vector(F.col(vec_col)))
-    # For each query: rank all cells by centroid dot, keep n_probe.
+    idx = ivf_index(corpus, vec_col, id_col, n_cells, seed, portable)
+    q_exploded = query_probe_cells(
+        queries, vec_col, id_col, n_cells, n_probe, seed, portable
+    )
+    return ivf_probe(idx, q_exploded, k)
+
+
+def ivf_index(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """The persisted IVF artifact: ``(neighbor_id, cq, cell)``.
+
+    Write it ``partitionBy("cell")`` — probes then plan as
+    partition-pruned scans of only the probed cells
+    (see ``q_ann_ivf_persisted``), the actual 100 TB layout."""
+    return (
+        assign_cells(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+            vec_col, n_cells, seed, portable,
+        )
+        .withColumn("cq", quantize_vector(F.col(vec_col)))
+        .select("neighbor_id", "cq", "cell")
+    )
+
+
+def query_probe_cells(
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Per query: rank all cells by centroid dot, keep the top
+    ``n_probe`` ⇒ exploded (query_id, qq, cell) probe frame."""
     qbase = queries.select(
         F.col(id_col).alias("query_id"), quantize_vector(F.col(vec_col)).alias("qq")
     )
@@ -143,8 +179,13 @@ def ivf_topk(
         dots.append(F.struct(dot.alias("dot"), F.lit(cell).alias("cell")))
     probes = F.slice(F.reverse(F.array_sort(F.array(*dots))), 1, n_probe)
     q = qbase.withColumn("probe_cells", F.transform(probes, lambda s: s["cell"]))
-    q_exploded = q.select("query_id", "qq", F.explode("probe_cells").alias("cell"))
-    scored = c.join(F.broadcast(q_exploded), on="cell").filter(
+    return q.select("query_id", "qq", F.explode("probe_cells").alias("cell"))
+
+
+def ivf_probe(index: DataFrame, q_exploded: DataFrame, k: int = 10) -> DataFrame:
+    """Score an (already cell-filtered) index slice against the
+    broadcast probe frame; exact cosine within probed cells."""
+    scored = index.join(F.broadcast(q_exploded), on="cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))

@@ -2356,6 +2356,35 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, "embedding", "vec_id", k=10, portable=True)
 
 
+def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF scale path made physical: the index artifact written
+    ``partitionBy("cell")``, probes planned as PARTITION-PRUNED scans of
+    only the probed cells (collected probe-cell set is ≤ n_cells ints —
+    bounded), scored against the broadcast query frame. Same oracle as
+    ``ann_ivf``: the storage layout must be result-invisible."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.similarity import (
+        ivf_index,
+        ivf_probe,
+        query_probe_cells,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_ivf_idx_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    ivf_index(emb, "embedding", "vec_id", portable=True).write.partitionBy(
+        "cell"
+    ).parquet(root)
+    qcells = query_probe_cells(
+        emb.filter(F.col("vec_id") < 5), "embedding", "vec_id", portable=True
+    )
+    cells = sorted(r.cell for r in qcells.select("cell").distinct().collect())
+    stored = spark.read.parquet(root).filter(F.col("cell").isin(cells))
+    return ivf_probe(stored, qcells, k=10)
+
+
 def _emb_lsh_sql(
     threshold: float = 0.4, n_planes: int = 6, n_tables: int = 4, seed: int = 42
 ) -> str:
@@ -3148,6 +3177,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": q_pii_redaction,
     "dedup_embedding": q_dedup_embedding,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_persisted": q_ann_ivf_persisted,
     "lake_prune_scan": q_lake_prune_scan,
     "bloom_prune_scan": q_bloom_prune_scan,
     "pagerank": q_pagerank,
@@ -3227,6 +3257,7 @@ ORACLES: dict[str, str] = {
     "ivm_incremental_agg": SQL_IVM_AGG,
     "contacts_csv_ingest": SQL_CONTACTS_CSV,
     "ann_ivf": _ivf_sql(),
+    "ann_ivf_persisted": _ivf_sql(),
     "dedup_embedding": _emb_lsh_sql(),
     "lake_prune_scan": SQL_PRUNE_SCAN,
     "bloom_prune_scan": SQL_BLOOM_PRUNE,

@@ -1,0 +1,135 @@
+"""Registry-shape invariants.
+
+The driver's correctness gate evaluates only the FIRST 50 entries of the
+``queries()`` dict each round (observed: CORRECTNESS_r01/r02 both contain
+exactly 50 rows matching the registry's head).  These tests pin the round-3
+ordering contract — never-gated queries and freshly-fixed reds must sit
+inside the window — and lint every DuckDB oracle for the representation
+hazard class that caused the round-1/2 hash failures (uncast ``sum()``
+returning HUGEINT/int128, which canonicalizes differently from BIGINT).
+"""
+
+from __future__ import annotations
+
+import re
+
+from data_ingestion_resolution_platform_spark.plans.queries import ORACLES, QUERIES
+
+GATE_WINDOW = 50
+
+# Queries with no driver row in r01/r02 + the two r02 hash-reds: all must be
+# inside the gate window this round (VERDICT.md round-2, directive #2).
+MUST_BE_GATED = {
+    "mor_merge_read", "table_changes", "cdf_replication", "ivm_incremental_agg",
+    "contacts_csv_ingest", "corpus_prep", "train_split", "shard_packing",
+    "stratified_sample", "pii_redaction", "dedup_embedding", "ann_ivf",
+    "ann_ivf_persisted", "lake_prune_scan", "bloom_prune_scan", "pagerank",
+    "spend_deciles", "repetition_stats", "cdc_schema_evolution", "bucketed_join",
+    "zorder_prune_scan", "skew_salted_join", "decontaminate", "events_cube",
+    "lineitem_unpivot", "multimodal_features", "media_decode", "bm25_search",
+    "vocab_topk",
+    # fixed hash-reds
+    "events_sessionize", "events_json_props",
+    # flagship CDC core stays gated every round
+    "cdc_apply_changes", "pipeline_cdc_e2e",
+}
+
+
+def test_never_gated_queries_inside_window():
+    window = list(QUERIES)[:GATE_WINDOW]
+    missing = MUST_BE_GATED - set(window)
+    assert not missing, f"outside driver gate window: {sorted(missing)}"
+
+
+def test_every_query_has_oracle_or_is_rows_only():
+    # rows-only by design: Arrow pandas-UDF plumbing with no SQL twin
+    rows_only = {"multimodal_features"}
+    for name in QUERIES:
+        assert name in ORACLES or name in rows_only, name
+
+
+def test_oracle_names_unique_and_registered():
+    for name in ORACLES:
+        assert name in QUERIES, f"oracle without query: {name}"
+
+
+# --- representation-hazard lint (VERDICT.md round-2, directive #5) ---------
+#
+# DuckDB `sum(intlike)` returns HUGEINT (int128); `count()` returns BIGINT;
+# `avg()` returns DOUBLE.  A compared column produced by an uncast sum()
+# hashes differently from Spark's BIGINT even when values agree.  Lint: every
+# `sum(` appearing in an oracle's SELECT list must be wrapped in an explicit
+# CAST (or be part of a larger cast/round expression).
+
+_SUM_RE = re.compile(r"\bsum\s*\(", re.IGNORECASE)
+_GUARD_RE = re.compile(r"\b(?:CAST|TRY_CAST|ROUND)\s*\(\s*(?:--[^\n]*\n\s*)?sum\s*\(", re.IGNORECASE)
+
+
+def _uncast_sums(sql: str) -> int:
+    """Count sum( occurrences not immediately wrapped by CAST/ROUND.
+
+    Heuristic: for each sum( match, look backwards up to 80 chars for a
+    CAST(/ROUND( opener with only whitespace/comments/expression glue
+    between.  Conservative: flags anything not provably cast.
+    """
+    n = 0
+    for m in _SUM_RE.finditer(sql):
+        prefix = sql[max(0, m.start() - 120):m.start()]
+        # strip line comments from the prefix tail
+        prefix = re.sub(r"--[^\n]*", "", prefix)
+        tail = prefix[-60:]
+        if re.search(r"(?:CAST|TRY_CAST|ROUND)\s*\(\s*$", tail, re.IGNORECASE):
+            continue
+        # sum( inside a division / arithmetic that is itself cast is caught
+        # by the division form `CAST(sum(x) ... )` above; also allow
+        # `sum(...) :: BIGINT` postfix casts.
+        rest = sql[m.start():]
+        # find the matching close paren of this sum(...)
+        depth = 0
+        end = None
+        for i, ch in enumerate(rest):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end is not None and re.match(r"\s*::", rest[end + 1:]):
+            continue
+        n += 1
+    return n
+
+
+# Reviewed-safe uncast sum() sites, pinned by exact count so any NEW uncast
+# sum (even added to an already-allowlisted oracle) still trips the lint:
+#   orders_above_cust_avg : scalar subquery compared with >, never selected
+#   events_session_window : CTE session_seq used only as GROUP BY key,
+#                           not in the compared SELECT list
+#   pipeline_epoch_status : sum(CASE..) > 0 inside a CASE comparison
+#   pagerank              : sum(rank) over DOUBLE — DuckDB returns DOUBLE
+#   repetition_stats      : CTE n_tokens re-cast at the final SELECT
+#   shard_packing         : wrapped as CAST(coalesce(sum(..) OVER ..))
+_REVIEWED_UNCAST = {
+    "orders_above_cust_avg": 1,
+    "events_session_window": 1,
+    "pipeline_epoch_status": 1,
+    "pagerank": 10,
+    "repetition_stats": 1,
+    "shard_packing": 1,
+}
+
+
+def test_no_uncast_sum_in_compared_oracle_columns():
+    offenders = {}
+    for name, sql in ORACLES.items():
+        # Only the outermost SELECT's columns are compared, but a CTE column
+        # selected through to the output inherits its type — lint the whole
+        # statement (comments stripped) and pin reviewed-safe interior uses.
+        bad = _uncast_sums(re.sub(r"--[^\n]*", "", sql))
+        if bad != _REVIEWED_UNCAST.get(name, 0):
+            offenders[name] = bad
+    assert not offenders, (
+        "oracle SQL with un-reviewed uncast sum() — DuckDB returns HUGEINT "
+        f"and the driver hash will mismatch Spark BIGINT: {offenders}"
+    )

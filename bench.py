@@ -438,7 +438,18 @@ HEADLINE = [
 ]
 
 
-def run_queries(parallelism: int, sf_dir: str) -> dict[str, float]:
+def _queries_single_pass(parallelism: int, sf_dir: str, seed: int) -> dict[str, float]:
+    """One fresh-JVM pass over HEADLINE in seed-shuffled order.
+
+    Runs as a subprocess worker (``--queries-only``) so every rep gets
+    a cold JVM: back-to-back in-process timings degrade monotonically
+    (measured 54s → 85s → 122s for identical work — page-cache
+    pressure + JVM aging), and a FIXED order additionally biases each
+    query by its position. Shuffling per rep decorrelates position
+    from identity; the median across reps is then per-query meaningful.
+    """
+    import random
+
     from data_ingestion_resolution_platform_spark.plans.queries import QUERIES
     from data_ingestion_resolution_platform_spark.session import get_spark
 
@@ -447,15 +458,39 @@ def run_queries(parallelism: int, sf_dir: str) -> dict[str, float]:
     # reader init otherwise land entirely on the first timed query
     spark.range(2_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    order = list(HEADLINE)
+    random.Random(seed).shuffle(order)
     out: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in order:
         t0 = time.time()
-        n = QUERIES[name](spark, sf_dir).count()
+        QUERIES[name](spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)
-        _ = n
-    # free the JVM before the CDC subprocess reps — a lingering
-    # 32-thread session competes with them for memory and cores
     spark.stop()
+    return out
+
+
+def run_queries(parallelism: int, sf_dir: str, reps: int = 3) -> dict[str, float]:
+    """Per-query MEDIAN over ``reps`` fresh-JVM passes, each pass in a
+    different randomized order — the same per-rep process isolation the
+    CDC headline uses, extended to the per-query numbers so a
+    regression can be told from JVM-aging / position noise."""
+    reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", str(reps)))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for seed in range(reps):
+        subprocess.run(["sync"], check=False)
+        time.sleep(2)
+        proc = subprocess.run(
+            [sys.executable, __file__, "--queries-only", str(parallelism), str(seed)],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        one = json.loads(proc.stdout.strip().splitlines()[-1])
+        for name, t in one.items():
+            samples[name].append(t)
+    out: dict[str, float] = {}
+    for name, ts in samples.items():
+        ts.sort()
+        out[name] = ts[len(ts) // 2]
     return out
 
 
@@ -488,6 +523,13 @@ def _cdc_median_of_reps(parallelism: int, n_events: int, reps: int = 3) -> dict:
 def main() -> None:
     sf_dir = _sf_dir()
     cpus = _cpus()
+    if "--queries-only" in sys.argv:
+        # subprocess worker for run_queries: one fresh-JVM shuffled pass
+        i = sys.argv.index("--queries-only")
+        par, seed = int(sys.argv[i + 1]), int(sys.argv[i + 2])
+        print(json.dumps(_queries_single_pass(par, sf_dir, seed)))
+        return
+
     if "--cdc-only" in sys.argv:
         # subprocess worker for --scaling
         par = int(sys.argv[sys.argv.index("--cdc-only") + 1])

@@ -153,6 +153,15 @@ def asof_join_cogroup(
     keys = list(on)
     rcols = [c for c in (right_cols or right.columns) if c not in keys]
     l_fields = list(left.schema.fields)
+    # The output StructType cannot hold duplicate field names, and a
+    # colliding right column would silently surface LEFT-side values
+    # under the right name — reject up front (rename before joining).
+    collisions = sorted(set(rcols) & {f.name for f in l_fields})
+    if collisions:
+        raise ValueError(
+            f"right_cols collide with left columns {collisions}; rename "
+            "the right-side columns before asof_join_cogroup"
+        )
     r_schema = right.schema
     out_fields = l_fields + [
         T.StructField(c, r_schema[c].dataType, True) for c in rcols
@@ -184,13 +193,11 @@ def asof_join_cogroup(
                 direction="backward",
                 suffixes=("", "__r"),
             )
-            # merge_asof keeps the right key column; if it collides with
-            # a left name pandas suffixed it — normalize to rcols order
-            cols = list(matched.columns) + [
-                (c if c in out.columns else f"{c}__r") for c in rcols
-            ]
-            out = out[cols]
-            out.columns = l_names + rcols
+            # rcols are disjoint from left names (checked above), so the
+            # only column merge_asof can suffix is the right key itself
+            # (when right_ts equals a left name) — and it is dropped by
+            # this selection unless explicitly requested via rcols.
+            out = out[l_names + rcols]
         else:
             out = matched.reindex(columns=l_names + rcols)
         if len(passthru):

@@ -415,15 +415,21 @@ def apply_patches(
         )
     g = changes.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
 
-    last_d = F.coalesce(F.col("__last_d"), F.lit(-1))
-    last_i = F.coalesce(F.col("__last_i"), F.lit(-1))
-    alive = F.coalesce(F.col("__last_ui"), F.lit(-1)) > last_d
+    # NULL-aware barriers ("never happened" = NULL, not a sentinel): a
+    # feed with negative LSNs — valid in e.g. signed logical clocks —
+    # must not confuse a real event at lsn=-1 with absence.
+    last_d = F.col("__last_d")
+    last_i = F.col("__last_i")
+    last_ui = F.col("__last_ui")
+    alive = last_ui.isNotNull() & (last_d.isNull() | (last_ui > last_d))
     out_cols: list[Column] = [F.col(k) for k in keys]
-    out_cols.append(F.col("__last_ui").alias("lsn"))
+    out_cols.append(last_ui.alias("lsn"))
     for c in value_cols:
         p = F.col(f"__p_{c}")
+        after_d = last_d.isNull() | (p["l"] > last_d)
+        after_i = last_i.isNull() | (p["l"] >= last_i)
         out_cols.append(
-            F.when((p["l"] > last_d) & (p["l"] >= last_i), p["v"]).alias(c)
+            F.when(p["l"].isNotNull() & after_d & after_i, p["v"]).alias(c)
         )
     return g.filter(alive).select(*out_cols)
 

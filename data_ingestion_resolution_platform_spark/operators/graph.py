@@ -121,6 +121,11 @@ def pagerank(
     loss).
 
     Edges are deduplicated; out-degree counts distinct successors.
+    The vertex set is the UNION of ``nodes`` and all edge endpoints
+    (GraphX ``Graph.fromEdges`` semantics): an edge referencing an id
+    absent from ``nodes`` still receives its contribution, so rank mass
+    is conserved (Σrank = 1) for any input instead of silently leaking
+    through dangling references.
     At 10^10 edges each iteration shuffles |E| (src, contribution)
     pairs — the canonical Pregel-on-DataFrames cost — and skew on
     celebrity dst nodes is partial-aggregated map-side.
@@ -131,13 +136,15 @@ def pagerank(
     # out-degree shuffles from scratch — measured 4x slowdown at 5
     # iterations. localCheckpoint also cuts their lineage out of every
     # iteration's plan.
-    v = (
-        nodes.select(F.col(id_col).alias("node"))
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    v = (
+        nodes.select(F.col(id_col).alias("node"))
+        .unionByName(e.select(F.col("src").alias("node")))
+        .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -2667,11 +2667,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pagerank_sql() -> str:
     d = PAGERANK_DAMPING
+    # nc sizes the synthetic edge hash; v/n mirror the operator's
+    # GraphX-style vertex derivation (nodes ∪ edge endpoints) so rank
+    # mass is conserved even for dst ids outside the customer key range
+    # (dst = o_orderkey*7 % N lands in [0, N-1]; custkeys are [1, N]).
     parts = [
-        "n AS (SELECT count(*) AS n FROM customer)",
-        "e AS (SELECT DISTINCT o_custkey AS src, (o_orderkey * 7) % (SELECT n FROM n) AS dst FROM orders)",
+        "nc AS (SELECT count(*) AS n FROM customer)",
+        "e AS (SELECT DISTINCT o_custkey AS src, (o_orderkey * 7) % (SELECT n FROM nc) AS dst FROM orders)",
+        "v AS (SELECT c_custkey AS node FROM customer UNION SELECT src FROM e UNION SELECT dst FROM e)",
+        "n AS (SELECT count(*) AS n FROM v)",
         "outdeg AS (SELECT src, count(*) AS out FROM e GROUP BY src)",
-        "r0 AS (SELECT c_custkey AS node, 1.0 / (SELECT n FROM n) AS rank FROM customer)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM n) AS rank FROM v)",
     ]
     for i in range(PAGERANK_ITERS):
         parts.append(

@@ -81,13 +81,39 @@ def write_bucketed(
     os.replace(tmp, os.path.join(path, _SPEC))
 
 
-def _spec_matches(path: str, keys: Sequence[str], n_buckets: int) -> bool:
+def _spec_matches(
+    path: str,
+    keys: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+) -> bool:
+    """True iff the committed files at ``path`` were written with exactly
+    this (keys, n_buckets, sort) spec. Sort order is part of the match:
+    registering existing files with a DIFFERENT ``SORTED BY`` than they
+    were written with makes the catalog promise an ordering the data
+    doesn't have, and SortMergeJoin would trust it and return wrong
+    results with one file per bucket."""
     try:
         with open(os.path.join(path, _SPEC)) as f:
             spec = json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
         return False
-    return spec.get("keys") == list(keys) and spec.get("n_buckets") == n_buckets
+    return (
+        spec.get("keys") == list(keys)
+        and spec.get("n_buckets") == n_buckets
+        and spec.get("sort", []) == list(sort_cols or [])
+    )
+
+
+def _table_location(spark: SparkSession, table: str) -> str | None:
+    """Filesystem path of a catalog table (scheme stripped), or None."""
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if row.col_name.strip() == "Location":
+            loc = row.data_type.strip()
+            if loc.startswith("file:"):
+                loc = loc[len("file:"):]
+            return os.path.normpath(loc)
+    return None
 
 
 def ensure_bucketed(
@@ -110,7 +136,12 @@ def ensure_bucketed(
     Always returns ``spark.table(table)`` — the catalog read that
     carries the bucket spec into the planner.
     """
-    if _spec_matches(path, keys, n_buckets):
+    if _spec_matches(path, keys, n_buckets, sort_cols):
+        if spark.catalog.tableExists(table):
+            # a stale same-name table registered over a DIFFERENT path
+            # must not be returned as-is — re-point it at `path`
+            if _table_location(spark, table) != os.path.normpath(path):
+                spark.sql(f"DROP TABLE {table}")
         if not spark.catalog.tableExists(table):
             first = builder()
             cols = ", ".join(

@@ -138,7 +138,15 @@ def read_contacts_csv(spark: SparkSession, path: str) -> DataFrame:
       (the reference's MALFORMED_ROW tagging).
     - required-column check (S2): missing ``email`` header raises.
     - ``_row_number`` reproduces 1-based data line numbers starting at
-      2 (header = line 1) — the reference's ordinal LSN.
+      2 (header = line 1) — the reference's ordinal LSN. Correct for
+      ANY partition count of a single input file: per-partition row
+      counts (a bounded ≤P-row collect) become cumulative offsets, and
+      rows are numbered partition-locally under them. Spark packs a
+      single file's splits into partitions in file-offset order, so
+      partition id order IS physical line order; for multi-file globs
+      the numbering is per Spark's file packing, not concatenation
+      order (the reference ingests exactly one file per job,
+      `worker.py:257`).
     """
     # Read the physical header first: an explicit schema + header=True
     # binds POSITIONALLY in Spark CSV, but the reference projects by
@@ -171,8 +179,31 @@ def read_contacts_csv(spark: SparkSession, path: str) -> DataFrame:
         else F.lit(None).cast("string").alias(w)
         for w in wanted
     ]
-    # monotonically_increasing_id is partition-ordered; for a single
-    # bounded file this reproduces input order without a global sort.
-    return df.select(*cols, F.col("_corrupt")).withColumn(
-        "_row_number", F.monotonically_increasing_id() + 2
+    base = (
+        df.select(*cols, F.col("_corrupt"))
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__ord", F.monotonically_increasing_id())
     )
+    # two-phase numbering (same pattern as operators/packing.py): phase 1
+    # collects per-partition counts (≤P rows, bounded at any file size),
+    # phase 2 numbers rows partition-locally beneath cumulative offsets.
+    sizes = {r["__pid"]: r["count"] for r in base.groupBy("__pid").count().collect()}
+    if len(sizes) <= 1:
+        # single partition: monotonically_increasing_id is already the
+        # 0-based input ordinal — no window needed
+        return base.withColumn("_row_number", F.col("__ord") + 2).drop(
+            "__pid", "__ord"
+        )
+    from pyspark.sql.window import Window
+
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )[F.col("__pid")]
+    w = Window.partitionBy("__pid").orderBy("__ord")
+    return base.withColumn(
+        "_row_number", off + F.row_number().over(w) + 1
+    ).drop("__pid", "__ord")

@@ -206,6 +206,35 @@ class _Versioned:
     def _claim_path(self, v: int) -> str:
         return os.path.join(self.root, f"_CLAIM_v{v}")
 
+    #: a live writer must commit or release within this window; a claim
+    #: older than this whose owner can't be verified alive is stealable
+    CLAIM_TTL_SECONDS = 600.0
+
+    def _claim_is_stale(self, path: str) -> bool:
+        """True if the claim's owner is provably dead (pid gone on this
+        host — the versioned layout is single-host by construction; an
+        object-store port replaces this with conditional-PUT leases) or
+        the claim exceeded :attr:`CLAIM_TTL_SECONDS`."""
+        try:
+            with open(path) as f:
+                meta = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError, OSError):
+            # vanished (owner released — not stale) or unreadable/partial
+            # (crashed mid-write — age it out by mtime)
+            try:
+                return time.time() - os.path.getmtime(path) > self.CLAIM_TTL_SECONDS
+            except OSError:
+                return False
+        pid = meta.get("pid")
+        if isinstance(pid, int):
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                return True  # owner process is gone
+            except PermissionError:
+                pass  # alive, owned by another user
+        return time.time() - float(meta.get("ts", 0.0)) > self.CLAIM_TTL_SECONDS
+
     def claim(self, v: int) -> None:
         """Atomically claim the right to write version ``v``.
 
@@ -214,28 +243,44 @@ class _Versioned:
         that claimed the intermediate version hasn't finished — the
         caller's snapshot is stale either way). Release on write
         failure via :meth:`release`; the commit pointer swap consumes
-        the claim on success."""
+        the claim on success.
+
+        A claim left behind by a writer that died between claim and
+        commit no longer wedges the table: if the recorded owner pid is
+        dead or the claim is older than :attr:`CLAIM_TTL_SECONDS`, the
+        next claimant steals it (remove + one retry of the O_EXCL
+        create — at most one racer wins the recreate)."""
         if self.current() != v - 1:
             raise CommitConflict(
                 f"{self.root}: version {v} has base {v - 1} but current is "
                 f"{self.current()} — stale snapshot, re-read and retry"
             )
-        try:
-            fd = os.open(self._claim_path(v), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise CommitConflict(
-                f"{self.root}: version {v} already claimed by a concurrent "
-                "writer — re-read and retry"
-            ) from None
+        path = self._claim_path(v)
+        for attempt in (0, 1):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if attempt == 0 and self._claim_is_stale(path):
+                    try:  # steal: remove is race-safe, O_EXCL re-decides
+                        os.remove(path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise CommitConflict(
+                    f"{self.root}: version {v} already claimed by a live "
+                    "concurrent writer — re-read and retry"
+                ) from None
         with os.fdopen(fd, "w") as f:
             json.dump({"pid": os.getpid(), "ts": time.time()}, f)
 
     def release(self, v: int) -> None:
         """Abandon a claim after a failed write so the table isn't
-        wedged. (A writer that dies without releasing leaves the claim
-        behind — on a real catalog the pointer CAS makes abandoned
-        claims impossible; here `force=True` on a fresh claim path via
-        manual removal is the documented operator escape hatch.)"""
+        wedged. A writer that dies without releasing leaves the claim
+        behind; :meth:`claim` steals it once the owner pid is dead or
+        the claim ages past :attr:`CLAIM_TTL_SECONDS` (see
+        :meth:`_claim_is_stale`), and this method doubles as the
+        operator's force-release for anything earlier."""
         try:
             os.remove(self._claim_path(v))
         except FileNotFoundError:

@@ -38,6 +38,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_ingestion_resolution_platform_spark.util import local_df
+
 _PID = "__pid"
 _OFFSET = "__part_offset"
 
@@ -77,7 +79,9 @@ def global_prefix_sum(
     for pid in sorted(totals):
         offsets.append((pid, acc))
         acc += int(totals[pid] or 0)
-    off_df = spark.createDataFrame(offsets, schema=f"{_PID} int, {_OFFSET} long")
+    # JVM VALUES relation: a pickled-RDD createDataFrame would fork the
+    # Python worker pool on first action (~7 s cold) for P metadata rows
+    off_df = local_df(spark, offsets, f"{_PID} int, {_OFFSET} long")
 
     w = (
         Window.partitionBy(_PID)

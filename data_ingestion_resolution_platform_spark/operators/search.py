@@ -35,6 +35,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_resolution_platform_spark.util import local_df
+
 # Portable tokenizer: lowercase, split on runs of non-alphanumerics.
 # DuckDB twin: list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')
 TOKEN_SPLIT_REGEX = r"[^a-z0-9]+"
@@ -105,7 +107,9 @@ def bm25_topk(
             if (qid, t) not in seen:
                 seen.add((qid, t))
                 qterms.append((qid, t))
-    qdf = spark.createDataFrame(qterms, "query_id long, term string")
+    # JVM VALUES relation (util.local_df): query terms are a bounded
+    # driver-side list; avoid forking the Python worker pool for them
+    qdf = local_df(spark, qterms, "query_id long, term string")
 
     # corpus stats: 1-row aggregate, broadcast — never collected
     dls = doc_lengths(docs, text_col, id_col)

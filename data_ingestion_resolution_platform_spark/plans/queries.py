@@ -66,6 +66,7 @@ from data_ingestion_resolution_platform_spark.operators.stats import (
     percentile_rank_sql,
 )
 from data_ingestion_resolution_platform_spark.sources.feed import events_as_change_feed
+from data_ingestion_resolution_platform_spark.util import local_df
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -645,8 +646,12 @@ def q_events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     value bands via the bucketed equi-join strategy, then aggregated
     per band."""
     ev = _t(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
-        _VALUE_BANDS, "band_id long, band string, lo double, hi double"
+    # JVM-side VALUES local relation, NOT spark.createDataFrame(py_list):
+    # the first action on Python-pickled local data forks the whole
+    # Python worker pool (measured 11s cold at parallelism=32 — the
+    # round-2 "events_value_bands 11.6s" mystery). See util.local_df.
+    bands = local_df(
+        spark, _VALUE_BANDS, "band_id long, band string, lo double, hi double"
     )
     joined = interval_join(
         ev, bands, "value", "lo", "hi", bucket_width=50.0, small_right=True

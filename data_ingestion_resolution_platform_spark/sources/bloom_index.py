@@ -39,6 +39,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_resolution_platform_spark.util import empty_df
 from data_ingestion_resolution_platform_spark.sources.skipping import (
     _parquet_files,
     predicates_to_column,
@@ -176,6 +177,6 @@ def bloom_pruned_scan(
     residual = predicates_to_column(preds)
     if not kept:
         schema = spark.read.parquet(files[0]).schema
-        return spark.createDataFrame([], schema), report
+        return empty_df(spark, schema), report
     df = spark.read.schema(spark.read.parquet(files[0]).schema).parquet(*kept)
     return df.filter(residual), report

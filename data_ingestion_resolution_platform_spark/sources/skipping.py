@@ -42,6 +42,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_resolution_platform_spark.util import empty_df
+
 # predicate ops understood by the pruner; everything else must stay in
 # the residual filter only
 _OPS = {"==", "=", "<", "<=", ">", ">=", "between", "in"}
@@ -293,7 +295,7 @@ def pruned_scan(
             if not files:
                 raise FileNotFoundError(f"no parquet files under {data_dirs}")
             schema = spark.read.parquet(files[0]).schema
-        return spark.createDataFrame([], schema), report
+        return empty_df(spark, schema), report
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)

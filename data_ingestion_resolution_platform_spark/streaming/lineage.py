@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_ingestion_resolution_platform_spark.util import local_df
+
 LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("epoch", T.LongType(), False),
@@ -36,8 +38,12 @@ def epoch_summary(spark, epoch: int, status: str, n_conflicts: int) -> DataFrame
     job status machine (M7, `constants.py:3-8`) — PROCESSING epochs end
     COMPLETED / NEEDS_REVIEW / FAILED. Consumers filter
     ``partition_id == -1`` for status history."""
-    return spark.createDataFrame(
-        [(epoch, -1, 0, 0, 0, 0, None, None, n_conflicts, status)], LINEAGE_SCHEMA
+    # JVM VALUES relation (util.local_df): one status row per epoch is
+    # driver metadata; don't fork the Python worker pool to carry it
+    return local_df(
+        spark,
+        [(epoch, -1, 0, 0, 0, 0, None, None, n_conflicts, status)],
+        LINEAGE_SCHEMA,
     )
 
 

@@ -358,16 +358,18 @@ def hw_scaling_probe(n: int, n4: int, seconds: float = 10.0) -> dict:
 
 def storage_bw_probe(n: int, n4: int, mb_per_proc: int = 512) -> dict:
     """Aggregate write bandwidth of the bench storage target at two
-    writer counts. On a single VM the disk/tmpfs (and the memory bus
-    behind tmpfs) is SHARED: 4x the writers do not bring 4x bandwidth,
-    which bounds any end-to-end (write-inclusive) scaling measurement
-    here. A real cluster adds disks/object-store bandwidth with every
-    node, so the e2e criterion must be read against this ceiling."""
+    writer counts — best of 2 reps per level. A single rep right after
+    the heavy e2e subprocesses can measure memory-reclaim transients
+    instead of steady bandwidth (round-2's "flat 6.6 GB/s" artifact —
+    a clean host shows this tmpfs scaling ~0.75-0.9 from 6 to 24
+    writers; see scripts/storage_probe.py). The reading still bounds
+    any write-inclusive scaling number on ONE shared VM; a real cluster
+    adds disks/object-store bandwidth with every node."""
     import tempfile
 
     target = os.environ.get("SPARK_GRAFT_BENCH_DIR") or tempfile.gettempdir()
 
-    def rate(k: int) -> float:
+    def one_rate(k: int) -> float:
         procs = []
         paths = []
         t0 = time.time()
@@ -391,9 +393,14 @@ def storage_bw_probe(n: int, n4: int, mb_per_proc: int = 512) -> dict:
                 pass
         return k * mb_per_proc / el
 
-    subprocess.run(["sync"], check=False)
+    def rate(k: int) -> float:
+        best = 0.0
+        for _ in range(2):
+            subprocess.run(["sync"], check=False)
+            best = max(best, one_rate(k))
+        return best
+
     r_n = rate(n)
-    subprocess.run(["sync"], check=False)
     r_4n = rate(n4)
     return {
         "storage_mb_s_n": round(r_n, 0),
@@ -566,8 +573,8 @@ def main() -> None:
         # noise, so measure with 2x events in 2 epochs (4x rows/epoch)
         # rather than the headline's 4 micro-epochs.
         n_events = 2 * _feed_events()
-        # single-VM timings vary ±30% (hypervisor neighbors, writeback);
-        # 3 best-of reps per level bounds the noise on both sides
+        # single-VM timings vary ±30-40% (hypervisor neighbors,
+        # writeback); efficiency = median of time-paired ratios (below)
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
         env = dict(
             os.environ,
@@ -587,17 +594,25 @@ def main() -> None:
         # main JVM-side scaling tax; a roomy young gen removes most of it
         env.setdefault("SPARK_DRIVER_MEMORY", "48g")
         results: dict[str, dict[int, dict]] = {"core": {}, "e2e": {}}
-        # interleave levels and keep the best rep per level: a fresh-boot
-        # JVM, page-cache state, and async writeback from the *previous*
-        # run all depress the measured wall time; max-over-reps with a
-        # sync+settle between runs isolates the steady-state throughput.
-        # Two probes per level:
+        ratios: dict[str, list[float]] = {"core": [], "e2e": []}
+        # Host throughput on this VM drifts ±40% on multi-MINUTE
+        # timescales (measured: the same pinned 24-core core probe hit
+        # 348k and 499k ev/s an hour apart). A best-of-per-level ratio
+        # therefore mixes host states — N's best from a fast window
+        # against 4N's best from a slow one yields a meaningless
+        # efficiency. The robust statistic is the MEDIAN OF TIME-PAIRED
+        # RATIOS: each rep runs 4N then N back-to-back (same host
+        # state), computes its own efficiency, and the median across
+        # reps discards the drifted pairs. Per-level bests are still
+        # reported for throughput context.
+        # Two probes per pair:
         #   core — disk-free fused resolve+detect (executor scaling; on a
         #          cluster this is what added nodes buy)
         #   e2e  — full replay incl. lake writes (bounded here by the ONE
         #          local disk both levels share — reported for context)
         for rep in range(reps):
             for mode, flag in (("core", "--core-only"), ("e2e", "--cdc-only")):
+                pair: dict[int, dict] = {}
                 for par in (n4, n):
                     subprocess.run(["sync"], check=False)
                     time.sleep(5)
@@ -614,13 +629,17 @@ def main() -> None:
                     )
                     line = proc.stdout.strip().splitlines()[-1]
                     r = json.loads(line)
+                    pair[par] = r
                     best = results[mode]
                     if par not in best or r["events_per_sec"] > best[par]["events_per_sec"]:
                         best[par] = r
+                ratios[mode].append(
+                    (pair[n4]["events_per_sec"] / pair[n]["events_per_sec"]) / (n4 / n)
+                )
 
         def eff(mode: str) -> float:
-            m = results[mode]
-            return round((m[n4]["events_per_sec"] / m[n]["events_per_sec"]) / (n4 / n), 3)
+            rs = sorted(ratios[mode])
+            return round(rs[len(rs) // 2], 3)
 
         hw = hw_scaling_probe(n, n4)
         # probe the same storage target the e2e warehouses used
@@ -638,6 +657,8 @@ def main() -> None:
             "core_events_per_sec_n": results["core"][n]["events_per_sec"],
             "core_events_per_sec_4n": results["core"][n4]["events_per_sec"],
             "core_events": results["core"][n]["events"],
+            "core_ratio_reps": [round(x, 3) for x in ratios["core"]],
+            "e2e_ratio_reps": [round(x, 3) for x in ratios["e2e"]],
             "e2e_efficiency": eff("e2e"),
             "e2e_events_per_sec_n": results["e2e"][n]["events_per_sec"],
             "e2e_events_per_sec_4n": results["e2e"][n4]["events_per_sec"],

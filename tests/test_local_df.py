@@ -66,6 +66,36 @@ def test_local_df_rejects_unsupported_literal(spark):
         local_df(spark, [((1, 2),)], "p string")
 
 
+def test_no_create_dataframe_in_engine_package():
+    """spark.createDataFrame(py_list) is banned in the engine package:
+    its first action forks the Python worker pool (7-11 s cold), which
+    round 2 measured as the dominant cost of otherwise sub-second
+    queries. util.local_df / util.empty_df are the JVM-side
+    replacements; tests may still use createDataFrame freely."""
+    import os
+    import re
+
+    pkg = os.path.join(os.path.dirname(__file__), "..",
+                       "data_ingestion_resolution_platform_spark")
+    offenders = []
+    for root, _, files in os.walk(pkg):
+        for fn in files:
+            # util.py is the sanctioned wrapper (mentions it in docs)
+            if not fn.endswith(".py") or fn == "util.py":
+                continue
+            path = os.path.join(root, fn)
+            with open(path) as f:
+                src = f.read()
+            # strip comments/docstring mentions: flag only call sites
+            code = re.sub(r"#[^\n]*", "", src)
+            if re.search(r"\.createDataFrame\s*\(", code):
+                offenders.append(os.path.relpath(path, pkg))
+    assert offenders == [], (
+        f"createDataFrame call sites in engine package: {offenders}; "
+        "use util.local_df / util.empty_df instead"
+    )
+
+
 def test_empty_df_any_schema(spark):
     schema = T.StructType(
         [

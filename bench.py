@@ -105,20 +105,25 @@ def run_cdc_replay(
             pipe = CDCPipeline(spark, feed_dir="unused", warehouse=wh)
             os.sync()  # drain dirty pages so timing is apply-only
             t0 = time.time()
-            pipe.replay_bounded(feed_df, epochs=epochs)
+            epoch_stats = pipe.replay_bounded(feed_df, epochs=epochs)
             elapsed = time.time() - t0
             n_final = pipe.target.read().count()
-            runs.append((elapsed, n_final))
+            phases: dict[str, float] = {}
+            for st in epoch_stats:
+                for k, v in st.get("phase_seconds", {}).items():
+                    phases[k] = round(phases.get(k, 0.0) + v, 3)
+            runs.append((elapsed, n_final, phases))
             shutil.rmtree(wh, ignore_errors=True)
-        runs.sort()
-        elapsed, n_final = runs[len(runs) // 2]
+        runs.sort(key=lambda r: r[0])
+        elapsed, n_final, phases = runs[len(runs) // 2]
         return {
             "parallelism": parallelism,
             "events": n_events,
             "epochs": epochs,
             "reps": reps,
             "seconds": round(elapsed, 3),
-            "seconds_all_reps": [round(e, 3) for e, _ in sorted(runs)],
+            "seconds_all_reps": [round(r[0], 3) for r in runs],
+            "phase_seconds": phases,
             "events_per_sec": round(n_events / elapsed, 1),
             "final_rows": n_final,
         }

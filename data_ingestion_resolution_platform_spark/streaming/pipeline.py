@@ -125,6 +125,10 @@ class CDCPipeline:
         """
         if self.target.epoch_committed(epoch):
             return {"skipped": True, "epoch": epoch}
+        import time as _time
+
+        phases: dict[str, float] = {}
+        _t0 = _time.time()
         batch = reconcile_exprs(batch, CHANGE_FEED_SCHEMA, self.renames)
         # deliberately NOT persisted: each consumer (fused agg, winner
         # semi-join, lineage) reads a column-pruned scan of the source;
@@ -139,6 +143,9 @@ class CDCPipeline:
             wide_cols=["content"],
         )
         try:
+            # resolve_and_detect returns lazily; the persisted per-key
+            # aggregate materializes inside the first consumer below, so
+            # "audit" wall time includes the fused resolve shuffle.
             conflicts = resolved.conflicts.withColumn(
                 "epoch", F.lit(epoch).cast("long")
             )
@@ -154,6 +161,8 @@ class CDCPipeline:
                 fl = pool.submit(self.lineage.append, lin, f"l{epoch}", 1)
                 fc.result()
                 fl.result()
+            phases["resolve_audit"] = _time.time() - _t0
+            _t0 = _time.time()
             # maintained metrics BEFORE the target merge: the pre-images
             # must be read from the pre-merge target, and this ordering
             # keeps the retry story convergent — if the stats MERGE
@@ -170,6 +179,8 @@ class CDCPipeline:
                 epoch_id=epoch,
                 delete_condition=F.col("op") == "D",
             )
+            phases["merge"] = _time.time() - _t0
+            _t0 = _time.time()
             # A7/M7 status decision (reference `worker.py:404-411`):
             # conflicts ⇒ NEEDS_REVIEW, else COMPLETED. Counted from the
             # persisted per-key aggregate — counting the conflicts frame
@@ -179,8 +190,10 @@ class CDCPipeline:
             self.lineage.append(
                 epoch_summary(self.spark, epoch, status, n_conf), f"s{epoch}", 1
             )
+            phases["status"] = _time.time() - _t0
             stats["status"] = status
             stats["conflicts"] = n_conf
+            stats["phase_seconds"] = {k: round(v, 3) for k, v in phases.items()}
         except Exception:
             # poison-pill guard (`worker.py:413-415,445-457`): record a
             # FAILED epoch row best-effort, then surface the error so

@@ -95,14 +95,22 @@ def run_cdc_replay(
         feed_dir = os.path.join(base, "feed")
         feed.write.mode("overwrite").parquet(feed_dir)
         feed_df = spark.read.parquet(feed_dir)
+        # target_mode=mor is the 10^10-event ingest configuration
+        # (O(batch) delta appends; COW rewrites touched buckets) — the
+        # scaling probe measures both so the storage-bound share of the
+        # epoch is visible as the cow/mor gap.
+        target_mode = os.environ.get("SPARK_GRAFT_TARGET_MODE", "cow")
         warm = CDCPipeline(
-            spark, feed_dir="unused", warehouse=os.path.join(base, "warm")
+            spark, feed_dir="unused", warehouse=os.path.join(base, "warm"),
+            target_mode=target_mode,
         )
         warm.replay_bounded(feed_df.limit(100_000), epochs=1)
         runs = []
         for rep in range(reps):
             wh = os.path.join(base, f"wh{rep}")
-            pipe = CDCPipeline(spark, feed_dir="unused", warehouse=wh)
+            pipe = CDCPipeline(
+                spark, feed_dir="unused", warehouse=wh, target_mode=target_mode
+            )
             os.sync()  # drain dirty pages so timing is apply-only
             t0 = time.time()
             epoch_stats = pipe.replay_bounded(feed_df, epochs=epochs)
@@ -598,8 +606,8 @@ def main() -> None:
         # large heap: allocation-rate GC contention at 4N threads is the
         # main JVM-side scaling tax; a roomy young gen removes most of it
         env.setdefault("SPARK_DRIVER_MEMORY", "48g")
-        results: dict[str, dict[int, dict]] = {"core": {}, "e2e": {}}
-        ratios: dict[str, list[float]] = {"core": [], "e2e": []}
+        results: dict[str, dict[int, dict]] = {"core": {}, "e2e": {}, "e2e_mor": {}}
+        ratios: dict[str, list[float]] = {"core": [], "e2e": [], "e2e_mor": []}
         # Host throughput on this VM drifts ±40% on multi-MINUTE
         # timescales (measured: the same pinned 24-core core probe hit
         # 348k and 499k ev/s an hour apart). A best-of-per-level ratio
@@ -610,13 +618,22 @@ def main() -> None:
         # state), computes its own efficiency, and the median across
         # reps discards the drifted pairs. Per-level bests are still
         # reported for throughput context.
-        # Two probes per pair:
-        #   core — disk-free fused resolve+detect (executor scaling; on a
-        #          cluster this is what added nodes buy)
-        #   e2e  — full replay incl. lake writes (bounded here by the ONE
-        #          local disk both levels share — reported for context)
+        # Three probes per pair:
+        #   core    — disk-free fused resolve+detect (executor scaling; on
+        #             a cluster this is what added nodes buy)
+        #   e2e     — full replay incl. COW lake writes (bounded here by
+        #             the ONE local disk both levels share — context)
+        #   e2e_mor — full replay with the merge-on-read target, the
+        #             10^10-event ingest configuration (O(batch) delta
+        #             appends instead of bucket rewrites): measured cow
+        #             0.35 vs mor 0.42-0.58 at 8M events/2 epochs — the
+        #             gap is the storage-bound COW rewrite share
         for rep in range(reps):
-            for mode, flag in (("core", "--core-only"), ("e2e", "--cdc-only")):
+            for mode, flag, extra in (
+                ("core", "--core-only", {}),
+                ("e2e", "--cdc-only", {}),
+                ("e2e_mor", "--cdc-only", {"SPARK_GRAFT_TARGET_MODE": "mor"}),
+            ):
                 pair: dict[int, dict] = {}
                 for par in (n4, n):
                     subprocess.run(["sync"], check=False)
@@ -629,7 +646,7 @@ def main() -> None:
                     proc = subprocess.run(
                         ["taskset", "-c", f"0-{par - 1}",
                          sys.executable, __file__, flag, str(par)],
-                        capture_output=True, text=True, env=env,
+                        capture_output=True, text=True, env={**env, **extra},
                         cwd=os.path.dirname(os.path.abspath(__file__)),
                     )
                     line = proc.stdout.strip().splitlines()[-1]
@@ -667,6 +684,12 @@ def main() -> None:
             "e2e_efficiency": eff("e2e"),
             "e2e_events_per_sec_n": results["e2e"][n]["events_per_sec"],
             "e2e_events_per_sec_4n": results["e2e"][n4]["events_per_sec"],
+            "e2e_mor_ratio_reps": [round(x, 3) for x in ratios["e2e_mor"]],
+            "e2e_mor_efficiency": eff("e2e_mor"),
+            "e2e_mor_events_per_sec_n": results["e2e_mor"][n]["events_per_sec"],
+            "e2e_mor_events_per_sec_4n": results["e2e_mor"][n4]["events_per_sec"],
+            "e2e_phase_seconds_n": results["e2e"][n].get("phase_seconds"),
+            "e2e_phase_seconds_4n": results["e2e"][n4].get("phase_seconds"),
             "e2e_events": n_events,
             "reps": reps,
             "sf": sf_dir,

@@ -3137,6 +3137,10 @@ SQL_VOCAB_TOPK = _vocab_sql()
 # hash-reds, and (c) a core of flagship CDC/pipeline/streaming queries inside
 # the window; the remainder (all driver-green in CORRECTNESS_r02) follow and
 # rotate back in next round.  tests/test_registry.py pins this invariant.
+#
+# ROUND-4 TODO: rotate entries 50-78 (semi_join_customers .. dedup_simhash,
+# all green in r02) to the FRONT so they regain a driver row, and keep
+# whatever r03 marks red inside the window too.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never-gated in r01/r02: must receive a driver row this round -------
     "mor_merge_read": q_mor_merge_read,

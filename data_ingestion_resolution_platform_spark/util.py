@@ -51,6 +51,10 @@ def _sql_literal(v, sql_type: str) -> str:
         lit = "true" if v else "false"
     elif isinstance(v, str):
         lit = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    elif isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        # repr() renders nan/inf, which the SQL parser rejects; the
+        # string forms cast cleanly to DOUBLE/FLOAT
+        lit = "'NaN'" if v != v else ("'Infinity'" if v > 0 else "'-Infinity'")
     elif isinstance(v, (int, float)):
         lit = repr(v)
     else:

@@ -32,6 +32,15 @@ def test_local_df_escapes_quotes_and_backslashes(spark):
     assert got == {1: "it's", 2: "a\\b", 3: "x'y\\'z"}
 
 
+def test_local_df_nonfinite_floats(spark):
+    import math
+
+    rows = [(1, math.nan), (2, math.inf), (3, -math.inf), (4, 0.5)]
+    got = {r.i: r.d for r in local_df(spark, rows, "i int, d double").collect()}
+    assert math.isnan(got[1])
+    assert got[2] == math.inf and got[3] == -math.inf and got[4] == 0.5
+
+
 def test_local_df_struct_type_schema(spark):
     schema = T.StructType(
         [

@@ -31,6 +31,19 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _env_conf_pairs(env_conf: str) -> list[tuple[str, str]]:
+    """Parse ``SPARK_GRAFT_EXTRA_CONF``-style "k=v;k=v" into conf pairs.
+
+    Empty segments are skipped; values may contain ``=`` (only the
+    first splits); whitespace around keys/values is stripped."""
+    out = []
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, sep, v = pair.partition("=")
+        if sep and k.strip():
+            out.append((k.strip(), v.strip()))
+    return out
+
+
 def get_spark(
     app_name: str = "dirp_spark",
     parallelism: int | None = None,
@@ -85,6 +98,11 @@ def get_spark(
         # pruning in sources/skipping.py (and Iceberg forbids INT96)
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
+    # env-driven conf overrides (e.g. codec experiments through bench
+    # subprocesses): SPARK_GRAFT_EXTRA_CONF="k=v;k=v". Explicit
+    # ``extra_conf`` arguments win over the environment.
+    for k, v in _env_conf_pairs(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")):
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

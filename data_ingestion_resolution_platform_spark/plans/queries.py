@@ -3127,6 +3127,120 @@ SQL_VOCAB_TOPK = _vocab_sql()
 
 
 # --------------------------------------------------------------------------
+# SCD2 historization, fuzzy-match join, grouped top-k (round 3)
+# --------------------------------------------------------------------------
+
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of the I/U/D change feed: one validity interval
+    per distinct consecutive (event_type, value) state per user —
+    the warehouse-facing twin of `cdc_apply_changes` (which keeps only
+    the final state; reference `worker.py` upsert loop)."""
+    from data_ingestion_resolution_platform_spark.operators.scd import scd2_history
+
+    feed = events_as_change_feed(spark, sf_dir)
+    return scd2_history(feed, ["user_id"], "lsn", ["event_type", "value"])
+
+
+_SCD2_SQL_BODY = f"""
+WITH feed AS ({_FEED_SQL}),
+lagd AS (
+  SELECT user_id, lsn, op, event_type, value,
+         lag(op) OVER w AS prev_op,
+         lag(event_type) OVER w AS prev_et,
+         lag(value) OVER w AS prev_v
+  FROM feed
+  WINDOW w AS (PARTITION BY user_id ORDER BY lsn)
+),
+bounds AS (
+  SELECT user_id, lsn, op, event_type, value FROM lagd
+  WHERE op = 'D' OR prev_op IS NULL OR prev_op = 'D'
+     OR NOT (event_type IS NOT DISTINCT FROM prev_et
+             AND value IS NOT DISTINCT FROM prev_v)
+),
+closed AS (
+  SELECT user_id, lsn, op, event_type, value,
+         lead(lsn) OVER (PARTITION BY user_id ORDER BY lsn) AS valid_to_lsn
+  FROM bounds
+)
+SELECT user_id, event_type, value,
+       lsn AS valid_from_lsn, valid_to_lsn,
+       CAST(valid_to_lsn IS NULL AS INT) AS is_current
+FROM closed WHERE op <> 'D'
+"""
+
+SQL_EVENTS_SCD2 = _SCD2_SQL_BODY
+
+# Point-in-time LSN for the as-of read: mid-feed at sf0.01 and valid at
+# any SF (constant so Spark and the oracle agree byte-for-byte).
+_SCD2_ASOF_LSN = 5000
+
+
+def q_events_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time read of the SCD2 history: the version of each key
+    visible at LSN 5000. Plans as two range predicates over the
+    history — pruning-friendly when stored by valid_from_lsn."""
+    from data_ingestion_resolution_platform_spark.operators.scd import scd2_as_of
+
+    return scd2_as_of(q_events_scd2(spark, sf_dir), _SCD2_ASOF_LSN)
+
+
+SQL_EVENTS_SCD2_ASOF = f"""
+SELECT * FROM ({_SCD2_SQL_BODY})
+WHERE valid_from_lsn <= {_SCD2_ASOF_LSN}
+  AND (valid_to_lsn IS NULL OR valid_to_lsn > {_SCD2_ASOF_LSN})
+"""
+
+
+def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join: near-duplicate part names (edit
+    distance ≤ 3) within p_size blocks — entity resolution beyond
+    exact signature equality, quadratic cost bounded per block."""
+    from data_ingestion_resolution_platform_spark.operators.fuzzy import fuzzy_self_pairs
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size")
+    return fuzzy_self_pairs(part, "p_partkey", "p_name", ["p_size"], max_dist=3)
+
+
+SQL_FUZZY_PART = """
+SELECT a.p_size, a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS text_a, b.p_name AS text_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+  AND levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+def q_topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 orders per customer by (totalprice DESC, orderkey
+    ASC) via the two-phase salted grouped top-k — bounded reducer
+    state, no full per-key sort (operators/topk.py)."""
+    from data_ingestion_resolution_platform_spark.operators.topk import grouped_topk
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return grouped_topk(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice"), -F.col("o_orderkey")],
+        k=3,
+    )
+
+
+SQL_TOPK_PER_CUST = """
+SELECT o_orderkey, o_totalprice, o_custkey, CAST(rn AS INT) AS rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3191,15 +3305,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling": q_stream_tumbling,
     "stream_dedup": q_stream_dedup,
     "stream_enrich": q_stream_enrich,
-    "pricing_summary": q_pricing_summary,
-    "shipping_priority": q_shipping_priority,
     "latest_order_per_customer": q_latest_order_per_customer,
-    "latest_order_salted": q_latest_order_salted,
-    "local_supplier_volume": q_local_supplier_volume,
     "dedup_minhash": q_dedup_minhash,
+    # -- new in round 3: gate immediately (new code needs the hard row) -----
+    "events_scd2": q_events_scd2,
+    "events_scd2_asof": q_events_scd2_asof,
+    "fuzzy_part_match": q_fuzzy_part_match,
+    "topk_orders_per_cust": q_topk_orders_per_cust,
     # ======================= driver gate window ends =======================
     # Everything below was driver-green in CORRECTNESS_r02; rotates back into
     # the window in round 4 so every registry query keeps a recent hard row.
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "latest_order_salted": q_latest_order_salted,
+    "local_supplier_volume": q_local_supplier_volume,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "orders_above_cust_avg": q_orders_above_cust_avg,
@@ -3312,4 +3431,8 @@ ORACLES: dict[str, str] = {
     "media_decode": SQL_MEDIA_DECODE,
     "bm25_search": SQL_BM25_SEARCH,
     "vocab_topk": SQL_VOCAB_TOPK,
+    "events_scd2": SQL_EVENTS_SCD2,
+    "events_scd2_asof": SQL_EVENTS_SCD2_ASOF,
+    "fuzzy_part_match": SQL_FUZZY_PART,
+    "topk_orders_per_cust": SQL_TOPK_PER_CUST,
 }

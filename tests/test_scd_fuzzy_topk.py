@@ -1,0 +1,120 @@
+"""SCD2 historization, blocked fuzzy join, salted grouped top-k."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_ingestion_resolution_platform_spark.operators.fuzzy import (
+    fuzzy_join,
+    fuzzy_self_pairs,
+)
+from data_ingestion_resolution_platform_spark.operators.scd import (
+    scd2_as_of,
+    scd2_history,
+)
+from data_ingestion_resolution_platform_spark.operators.topk import grouped_topk
+
+
+# ---------------------------------------------------------------- SCD2 ----
+
+@pytest.fixture(scope="module")
+def feed(spark):
+    # key k1: I(a) U(a no-op) U(b) D  U(b re-insert-after-delete)
+    # key k2: I(a) only — stays current
+    # key k3: U(null attr) U(null attr no-op) — null-safe collapse
+    rows = [
+        ("k1", 1, "I", "a"),
+        ("k1", 2, "U", "a"),   # no-op: collapses into version 1
+        ("k1", 3, "U", "b"),
+        ("k1", 4, "D", None),
+        ("k1", 5, "U", "b"),   # after D: new version even though attrs match
+        ("k2", 1, "I", "a"),
+        ("k3", 1, "U", None),
+        ("k3", 2, "U", None),  # null-safe no-op
+    ]
+    return spark.createDataFrame(rows, ["key", "lsn", "op", "attr"])
+
+
+def test_scd2_versions_and_currency(feed):
+    hist = scd2_history(feed, ["key"], "lsn", ["attr"]).collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["key"], []).append(r)
+    k1 = sorted(by_key["k1"], key=lambda r: r["valid_from_lsn"])
+    assert [(r["attr"], r["valid_from_lsn"], r["valid_to_lsn"], r["is_current"]) for r in k1] == [
+        ("a", 1, 3, 0),   # no-op U@2 collapsed; closed by change@3
+        ("b", 3, 4, 0),   # closed by tombstone@4
+        ("b", 5, None, 1),  # re-insert after D opens a NEW version
+    ]
+    assert [(r["valid_from_lsn"], r["is_current"]) for r in by_key["k2"]] == [(1, 1)]
+    # null attrs collapse null-safely: one version, current
+    assert [(r["attr"], r["is_current"]) for r in by_key["k3"]] == [(None, 1)]
+
+
+def test_scd2_as_of_reads_point_in_time(feed):
+    hist = scd2_history(feed, ["key"], "lsn", ["attr"])
+    at3 = {r["key"]: r["attr"] for r in scd2_as_of(hist, 3).collect()}
+    assert at3 == {"k1": "b", "k2": "a", "k3": None}
+    # at LSN 4 k1 is deleted (tombstone closed version 2, none open)
+    at4 = {r["key"]: r["attr"] for r in scd2_as_of(hist, 4).collect()}
+    assert at4 == {"k2": "a", "k3": None}
+
+
+def test_scd2_single_shuffle(feed):
+    plan = scd2_history(feed, ["key"], "lsn", ["attr"])._jdf.queryExecution().executedPlan().toString()
+    # both windows share (key, lsn) partitioning+order: exactly one exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --------------------------------------------------------------- fuzzy ----
+
+def test_fuzzy_self_pairs_matches_unblocked_within_blocks(spark):
+    rows = [
+        (1, "kitten", 10), (2, "sitten", 10), (3, "sittin", 10),
+        (4, "kitten", 20),  # other block: never compared to 1-3
+        (5, "zebra", 10),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "blk"])
+    got = {
+        (r["id_a"], r["id_b"], r["edit_dist"])
+        for r in fuzzy_self_pairs(df, "id", "name", ["blk"], max_dist=2).collect()
+    }
+    assert got == {(1, 2, 1), (1, 3, 2), (2, 3, 1)}
+
+
+def test_fuzzy_join_two_tables(spark):
+    left = spark.createDataFrame([(1, "alpha", 0), (2, "omega", 0)], ["lid", "lname", "blk"])
+    right = spark.createDataFrame([(7, "alphas", 0), (8, "delta", 0)], ["rid", "rname", "blk"])
+    got = fuzzy_join(left, right, "lname", "rname", ["blk"], max_dist=1).collect()
+    assert [(r["lid"], r["rid"], r["edit_dist"]) for r in got] == [(1, 7, 1)]
+
+
+# ---------------------------------------------------------------- topk ----
+
+def test_grouped_topk_identical_to_window_under_skew(spark):
+    # one hot key with 5k rows + uniform tail; ties on value broken by -id
+    df = spark.range(6000).select(
+        F.when(F.col("id") < 5000, F.lit(0)).otherwise(F.col("id") % 37).alias("k"),
+        (F.col("id") % 101).cast("double").alias("v"),
+        F.col("id"),
+    )
+    fast = grouped_topk(df, ["k"], [F.col("v"), -F.col("id")], k=4)
+    w = Window.partitionBy("k").orderBy(F.col("v").desc(), F.col("id"))
+    ref = (
+        df.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 4)
+        .select("v", "id", "k", "rank")
+    )
+    assert sorted(fast.columns) == sorted(ref.columns)
+    assert fast.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fast).count() == 0
+
+
+def test_grouped_topk_k_larger_than_group(spark):
+    df = spark.createDataFrame([(1, 10.0), (1, 20.0)], ["k", "v"])
+    got = grouped_topk(df, ["k"], [F.col("v")], k=5).collect()
+    assert [(r["v"], r["rank"]) for r in sorted(got, key=lambda r: r["rank"])] == [
+        (20.0, 1), (10.0, 2),
+    ]

@@ -75,6 +75,118 @@ def scd2_history(
     )
 
 
+def scd2_apply_increment(
+    open_versions: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    lsn_col: str,
+    attr_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """One epoch of incremental SCD2 maintenance: the MERGE batch that
+    advances a type-2 history by a feed delta WITHOUT rescanning it.
+
+    ``open_versions`` is the history's current rows (``is_current=1``);
+    ``delta`` is this epoch's feed slice, whose LSNs must all exceed
+    the history's (the CDC replay contract — epochs are LSN-ordered).
+    Returns a key-unique batch for ``MERGE ON (keys, valid_from_lsn)``:
+
+    - delta-internal versions from :func:`scd2_history` (INSERTs);
+    - for each delta key with an open version, that version refitted
+      (UPDATE): closed at the delta's first event LSN when state
+      changes or a tombstone arrives, or *extended* when the delta's
+      first event is a null-safe no-op continuation — in which case
+      the delta's first version is suppressed from the inserts so the
+      result is row-identical to historizing the whole feed at once.
+
+    Scale notes (100 TB): every aggregate here is delta-sized (firsts,
+    first-versions); the history participates only through
+    ``open_versions`` filtered by the caller — join it semi-filtered on
+    delta keys so the epoch cost is O(|delta|), never O(|history|).
+    The per-key fix-up frame is broadcast onto the open versions.
+    """
+    dv = scd2_history(delta, keys, lsn_col, attr_cols, op_col)
+    first_ev = F.struct(
+        F.col(lsn_col), F.col(op_col), *[F.col(c) for c in attr_cols]
+    )
+    firsts = (
+        delta.groupBy(*keys)
+        .agg(F.min_by(first_ev, F.col(lsn_col)).alias("__f"))
+        .select(
+            *keys,
+            F.col(f"__f.{lsn_col}").alias("__f_lsn"),
+            F.col(f"__f.{op_col}").alias("__f_op"),
+            *[F.col(f"__f.{c}").alias(f"__f_{c}") for c in attr_cols],
+        )
+    )
+    v1 = (
+        dv.groupBy(*keys)
+        .agg(
+            F.min_by(
+                F.struct("valid_from_lsn", "valid_to_lsn"), F.col("valid_from_lsn")
+            ).alias("__v1")
+        )
+        .select(
+            *keys,
+            F.col("__v1.valid_from_lsn").alias("__v1_from"),
+            F.col("__v1.valid_to_lsn").alias("__v1_to"),
+        )
+    )
+    fixup = firsts.join(v1, on=list(keys), how="left")
+    touched = open_versions.join(F.broadcast(fixup), on=list(keys), how="inner")
+    cont = F.col("__f_op") != F.lit("D")
+    for c in attr_cols:
+        cont = cont & F.col(c).eqNullSafe(F.col(f"__f_{c}"))
+    updated = touched.select(
+        *keys,
+        *attr_cols,
+        "valid_from_lsn",
+        F.when(cont, F.col("__v1_to")).otherwise(F.col("__f_lsn")).alias(
+            "valid_to_lsn"
+        ),
+        F.when(cont & F.col("__v1_to").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_current"),
+    )
+    cont_v1 = touched.filter(cont).select(
+        *keys, F.col("__v1_from").alias("valid_from_lsn")
+    )
+    inserts = dv.join(
+        F.broadcast(cont_v1), on=[*keys, "valid_from_lsn"], how="left_anti"
+    )
+    return updated.unionByName(inserts)
+
+
+def historize_epoch(
+    history,
+    delta: DataFrame,
+    keys: Sequence[str],
+    lsn_col: str,
+    attr_cols: Sequence[str],
+    epoch_id,
+    op_col: str = "op",
+) -> dict:
+    """Exactly-once epoch apply of a feed delta to a LakeTable-backed
+    SCD2 history (MERGE ON (keys, valid_from_lsn); a committed
+    ``epoch_id`` short-circuits, so at-least-once redelivery is safe).
+    Seeds the table from scratch on first call."""
+    if history.epoch_committed(epoch_id):
+        return {"skipped": True, "epoch": str(epoch_id)}
+    try:
+        existing = history.read()
+    except FileNotFoundError:
+        existing = None
+    if existing is None:
+        batch = scd2_history(delta, keys, lsn_col, attr_cols, op_col)
+    else:
+        open_v = existing.filter(F.col("is_current") == 1)
+        batch = scd2_apply_increment(
+            open_v, delta, keys, lsn_col, attr_cols, op_col
+        )
+    return history.merge(batch, [*keys, "valid_from_lsn"], epoch_id=epoch_id)
+
+
 def scd2_as_of(history: DataFrame, lsn: int) -> DataFrame:
     """Point-in-time read of an SCD2 history: the version visible at
     ``lsn`` (valid_from ≤ lsn < valid_to). Plans as two pushed-down

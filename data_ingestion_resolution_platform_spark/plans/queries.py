@@ -3191,6 +3191,42 @@ WHERE valid_from_lsn <= {_SCD2_ASOF_LSN}
 """
 
 
+def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2: the history table advanced epoch-by-epoch
+    (3 LSN-ordered feed slices through ``historize_epoch``'s exactly-
+    once MERGE, with one epoch redelivered to prove idempotency) must
+    equal the one-shot historization of the whole feed — which is the
+    oracle (SQL_EVENTS_SCD2). Epoch cost is O(delta): only open
+    versions of delta keys are read back from the history."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.scd import historize_epoch
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    feed = events_as_change_feed(spark, sf_dir)
+    hi = feed.agg(F.max("lsn")).collect()[0][0]  # 1-row scalar
+    cuts = [hi // 3, 2 * hi // 3]
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_scd2_hist_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    hist = LakeTable(spark, root)
+    slices = [
+        feed.filter(F.col("lsn") <= cuts[0]),
+        feed.filter((F.col("lsn") > cuts[0]) & (F.col("lsn") <= cuts[1])),
+        feed.filter(F.col("lsn") > cuts[1]),
+    ]
+    for i, sl in enumerate(slices):
+        historize_epoch(hist, sl, ["user_id"], "lsn", ["event_type", "value"], i)
+    # redeliver epoch 1: the committed epoch ledger must short-circuit
+    assert historize_epoch(
+        hist, slices[1], ["user_id"], "lsn", ["event_type", "value"], 1
+    ).get("skipped"), "epoch redelivery must be idempotent"
+    return hist.read().select(
+        "user_id", "event_type", "value",
+        "valid_from_lsn", "valid_to_lsn", "is_current",
+    )
+
+
 def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy self-join: near-duplicate part names (edit
     distance ≤ 3) within p_size blocks — entity resolution beyond
@@ -3305,11 +3341,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling": q_stream_tumbling,
     "stream_dedup": q_stream_dedup,
     "stream_enrich": q_stream_enrich,
-    "latest_order_per_customer": q_latest_order_per_customer,
     "dedup_minhash": q_dedup_minhash,
     # -- new in round 3: gate immediately (new code needs the hard row) -----
     "events_scd2": q_events_scd2,
     "events_scd2_asof": q_events_scd2_asof,
+    "scd2_incremental": q_scd2_incremental,
     "fuzzy_part_match": q_fuzzy_part_match,
     "topk_orders_per_cust": q_topk_orders_per_cust,
     # ======================= driver gate window ends =======================
@@ -3317,6 +3353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the window in round 4 so every registry query keeps a recent hard row.
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
+    "latest_order_per_customer": q_latest_order_per_customer,
     "latest_order_salted": q_latest_order_salted,
     "local_supplier_volume": q_local_supplier_volume,
     "semi_join_customers": q_semi_join_customers,
@@ -3433,6 +3470,7 @@ ORACLES: dict[str, str] = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "events_scd2": SQL_EVENTS_SCD2,
     "events_scd2_asof": SQL_EVENTS_SCD2_ASOF,
+    "scd2_incremental": SQL_EVENTS_SCD2,
     "fuzzy_part_match": SQL_FUZZY_PART,
     "topk_orders_per_cust": SQL_TOPK_PER_CUST,
 }

@@ -33,8 +33,8 @@ MUST_BE_GATED = {
     # flagship CDC core stays gated every round
     "cdc_apply_changes", "pipeline_cdc_e2e",
     # new in round 3: first driver row this round
-    "events_scd2", "events_scd2_asof", "fuzzy_part_match",
-    "topk_orders_per_cust",
+    "events_scd2", "events_scd2_asof", "scd2_incremental",
+    "fuzzy_part_match", "topk_orders_per_cust",
 }
 
 

@@ -68,6 +68,65 @@ def test_scd2_single_shuffle(feed):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+# -------------------------------------------------- incremental SCD2 ----
+
+EPOCH_FEEDS = {
+    # split mid-run of no-ops: U(a)@2 | U(a)@3 must still collapse
+    "noop_across_cut": ([("k", 1, "I", "a"), ("k", 2, "U", "a")],
+                        [("k", 3, "U", "a"), ("k", 4, "U", "b")]),
+    # split right after a tombstone; re-insert with same attrs re-opens
+    "delete_then_reinsert": ([("k", 1, "I", "a"), ("k", 2, "D", None)],
+                             [("k", 3, "I", "a")]),
+    # tombstone as the delta's FIRST event closes the open version
+    "leading_delete": ([("k", 1, "I", "a")],
+                       [("k", 2, "D", None), ("k", 3, "U", "b")]),
+    # brand-new key appears only in epoch 2
+    "new_key": ([("k", 1, "I", "a")],
+                [("j", 2, "I", "x"), ("k", 3, "U", "b")]),
+    # delta is ALL no-ops: history must be unchanged (still current)
+    "pure_noop_delta": ([("k", 1, "I", "a")],
+                       [("k", 2, "U", "a"), ("k", 3, "U", "a")]),
+    # delta touches a key with no open version (deleted last epoch)
+    "only_tombstoned": ([("k", 1, "I", "a"), ("k", 2, "D", None)],
+                        [("k", 3, "D", None)]),
+}
+
+
+@pytest.mark.parametrize("case", sorted(EPOCH_FEEDS))
+def test_incremental_scd2_equals_one_shot(spark, tmp_path, case):
+    from data_ingestion_resolution_platform_spark.operators.scd import historize_epoch
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    e1, e2 = EPOCH_FEEDS[case]
+    schema = "key string, lsn long, op string, attr string"
+    hist = LakeTable(spark, str(tmp_path / f"scd2_{case}"))
+    for i, rows in enumerate((e1, e2)):
+        historize_epoch(
+            hist, spark.createDataFrame(rows, schema), ["key"], "lsn", ["attr"], i
+        )
+    one_shot = scd2_history(
+        spark.createDataFrame(e1 + e2, schema), ["key"], "lsn", ["attr"]
+    )
+    got = hist.read().select(*one_shot.columns)
+    assert got.exceptAll(one_shot).count() == 0
+    assert one_shot.exceptAll(got).count() == 0
+
+
+def test_incremental_scd2_epoch_idempotent(spark, tmp_path):
+    from data_ingestion_resolution_platform_spark.operators.scd import historize_epoch
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    cols = ["key", "lsn", "op", "attr"]
+    hist = LakeTable(spark, str(tmp_path / "scd2_idem"))
+    e1 = spark.createDataFrame([("k", 1, "I", "a")], cols)
+    e2 = spark.createDataFrame([("k", 2, "U", "b")], cols)
+    historize_epoch(hist, e1, ["key"], "lsn", ["attr"], 0)
+    historize_epoch(hist, e2, ["key"], "lsn", ["attr"], 1)
+    before = sorted(map(tuple, hist.read().collect()))
+    assert historize_epoch(hist, e2, ["key"], "lsn", ["attr"], 1)["skipped"]
+    assert sorted(map(tuple, hist.read().collect())) == before
+
+
 # --------------------------------------------------------------- fuzzy ----
 
 def test_fuzzy_self_pairs_matches_unblocked_within_blocks(spark):

@@ -1843,6 +1843,49 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot → streaming handoff: the target is seeded from a
+    consistent snapshot of the source at a mid-feed watermark LSN
+    (simulated as the LWW collapse of the feed prefix), then the
+    pipeline tails ONLY lsn > watermark in 2 epochs. Final attribute
+    state must equal the full-history LWW replay — proving no prefix
+    event double-applies and no tail event is missed. (lsn/op are
+    excluded from the compared output: snapshot rows legitimately
+    carry the synthetic watermark stamp.)"""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.cdc import apply_changes
+    from data_ingestion_resolution_platform_spark.streaming.pipeline import CDCPipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wh = f"/tmp/dirp_bootstrap_{tag}"
+    shutil.rmtree(wh, ignore_errors=True)
+    feed = _derived_code_feed(spark, sf_dir)
+    lo, hi = feed.agg(F.min("lsn"), F.max("lsn")).first()  # 1-row scalar
+    wm = (lo + hi) // 2
+    snapshot = apply_changes(
+        feed.filter(F.col("lsn") <= wm), ["repo", "path"], "lsn"
+    ).drop("op", "lsn")
+    pipe = CDCPipeline(spark, feed_dir="unused", warehouse=wh)
+    pipe.bootstrap(snapshot, wm)
+    assert pipe.bootstrap(snapshot, wm).get("skipped"), "bootstrap must be ledgered"
+    pipe.replay_bounded(feed.filter(F.col("lsn") > wm), epochs=2)
+    return pipe.target.read().select(
+        "repo", "path", "ts", "commit", "lang", "content"
+    )
+
+
+SQL_BOOTSTRAP_HANDOFF = f"""
+WITH feed AS ({_DERIVED_FEED_SQL}),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM feed
+)
+SELECT repo, path, ts, "commit", lang, content
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_pipeline_epoch_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7/A7 under the driver gate: the epoch status state machine.
     Replays the derived feed through the full pipeline (3 LSN-ranged
@@ -3341,18 +3384,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling": q_stream_tumbling,
     "stream_dedup": q_stream_dedup,
     "stream_enrich": q_stream_enrich,
-    "dedup_minhash": q_dedup_minhash,
     # -- new in round 3: gate immediately (new code needs the hard row) -----
     "events_scd2": q_events_scd2,
     "events_scd2_asof": q_events_scd2_asof,
     "scd2_incremental": q_scd2_incremental,
     "fuzzy_part_match": q_fuzzy_part_match,
     "topk_orders_per_cust": q_topk_orders_per_cust,
+    "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
     # ======================= driver gate window ends =======================
     # Everything below was driver-green in CORRECTNESS_r02; rotates back into
     # the window in round 4 so every registry query keeps a recent hard row.
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
+    "dedup_minhash": q_dedup_minhash,
     "latest_order_per_customer": q_latest_order_per_customer,
     "latest_order_salted": q_latest_order_salted,
     "local_supplier_volume": q_local_supplier_volume,
@@ -3471,6 +3515,7 @@ ORACLES: dict[str, str] = {
     "events_scd2": SQL_EVENTS_SCD2,
     "events_scd2_asof": SQL_EVENTS_SCD2_ASOF,
     "scd2_incremental": SQL_EVENTS_SCD2,
+    "cdc_bootstrap_handoff": SQL_BOOTSTRAP_HANDOFF,
     "fuzzy_part_match": SQL_FUZZY_PART,
     "topk_orders_per_cust": SQL_TOPK_PER_CUST,
 }

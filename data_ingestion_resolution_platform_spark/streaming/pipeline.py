@@ -253,6 +253,32 @@ class CDCPipeline:
             count_alias="n_paths",
         )
 
+    def bootstrap(self, snapshot: DataFrame, watermark_lsn: int, epoch_id: str = "bootstrap") -> dict:
+        """Snapshot → streaming handoff (the Debezium initial-load
+        pattern; extends M4/M5 to a non-empty starting state).
+
+        Seed the target from a consistent source snapshot taken at
+        ``watermark_lsn``, then tail the feed STRICTLY AFTER the
+        watermark (``feed.filter(lsn > watermark)`` — the caller's
+        replay contract): no prefix event is ever double-applied, no
+        post-watermark event is missed. Snapshot rows enter as
+        synthetic inserts stamped with the watermark LSN; the bootstrap
+        is its own ledgered epoch, so a crashed or redelivered
+        bootstrap is a no-op. ``snapshot`` must be key-unique (it is a
+        table snapshot) and carry the feed's payload columns minus
+        (op, lsn).
+
+        At 10^10 events this is the only sane cold-start: replaying
+        the full history through the resolver costs O(history), the
+        snapshot MERGE costs O(|table|) once.
+        """
+        if self.target.epoch_committed(epoch_id):
+            return {"skipped": True, "epoch": epoch_id}
+        batch = snapshot.withColumn("op", F.lit("I")).withColumn(
+            self.lsn_col, F.lit(watermark_lsn).cast("long")
+        )
+        return self.target.merge(batch, list(self.keys), epoch_id=epoch_id)
+
     # -- streaming entry --------------------------------------------------
     def run_stream(self, available_now: bool = True, trigger_seconds: float | None = None):
         """Tail the feed directory as a parquet file stream.

@@ -34,7 +34,7 @@ MUST_BE_GATED = {
     "cdc_apply_changes", "pipeline_cdc_e2e",
     # new in round 3: first driver row this round
     "events_scd2", "events_scd2_asof", "scd2_incremental",
-    "fuzzy_part_match", "topk_orders_per_cust",
+    "fuzzy_part_match", "topk_orders_per_cust", "cdc_bootstrap_handoff",
 }
 
 

@@ -1886,6 +1886,59 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_pipeline_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-integrated SCD2: ``maintain_history=True`` advances a
+    type-2 history table per epoch alongside the LWW target (own
+    exactly-once ledger, O(delta) apply). Oracle: one-shot SCD2 SQL
+    over the same derived feed."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.streaming.pipeline import CDCPipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wh = f"/tmp/dirp_pipeline_hist_{tag}"
+    shutil.rmtree(wh, ignore_errors=True)
+    feed = _derived_code_feed(spark, sf_dir)
+    pipe = CDCPipeline(
+        spark, feed_dir="unused", warehouse=wh, maintain_history=True
+    )
+    pipe.replay_bounded(feed, epochs=3)
+    return pipe.history.read().select(
+        "repo", "path", "commit", "lang", "content",
+        "valid_from_lsn", "valid_to_lsn", "is_current",
+    )
+
+
+SQL_PIPELINE_SCD2 = f"""
+WITH feed AS ({_DERIVED_FEED_SQL}),
+lagd AS (
+  SELECT repo, path, lsn, op, "commit", lang, content,
+         lag(op) OVER w AS prev_op,
+         lag("commit") OVER w AS prev_c,
+         lag(lang) OVER w AS prev_l,
+         lag(content) OVER w AS prev_t
+  FROM feed
+  WINDOW w AS (PARTITION BY repo, path ORDER BY lsn)
+),
+bounds AS (
+  SELECT repo, path, lsn, op, "commit", lang, content FROM lagd
+  WHERE op = 'D' OR prev_op IS NULL OR prev_op = 'D'
+     OR NOT ("commit" IS NOT DISTINCT FROM prev_c
+             AND lang IS NOT DISTINCT FROM prev_l
+             AND content IS NOT DISTINCT FROM prev_t)
+),
+closed AS (
+  SELECT repo, path, lsn, op, "commit", lang, content,
+         lead(lsn) OVER (PARTITION BY repo, path ORDER BY lsn) AS valid_to_lsn
+  FROM bounds
+)
+SELECT repo, path, "commit", lang, content,
+       lsn AS valid_from_lsn, valid_to_lsn,
+       CAST(valid_to_lsn IS NULL AS INT) AS is_current
+FROM closed WHERE op <> 'D'
+"""
+
+
 def q_pipeline_epoch_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7/A7 under the driver gate: the epoch status state machine.
     Replays the derived feed through the full pipeline (3 LSN-ranged
@@ -3392,8 +3445,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders_per_cust": q_topk_orders_per_cust,
     "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
     # ======================= driver gate window ends =======================
-    # Everything below was driver-green in CORRECTNESS_r02; rotates back into
-    # the window in round 4 so every registry query keeps a recent hard row.
+    # Everything below was driver-green in CORRECTNESS_r02 (or, for
+    # pipeline_scd2_history, is twin-gated via scd2_incremental); rotates
+    # into the window in round 4 so every query keeps a recent hard row.
+    "pipeline_scd2_history": q_pipeline_scd2_history,
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "dedup_minhash": q_dedup_minhash,
@@ -3516,6 +3571,7 @@ ORACLES: dict[str, str] = {
     "events_scd2_asof": SQL_EVENTS_SCD2_ASOF,
     "scd2_incremental": SQL_EVENTS_SCD2,
     "cdc_bootstrap_handoff": SQL_BOOTSTRAP_HANDOFF,
+    "pipeline_scd2_history": SQL_PIPELINE_SCD2,
     "fuzzy_part_match": SQL_FUZZY_PART,
     "topk_orders_per_cust": SQL_TOPK_PER_CUST,
 }

@@ -71,6 +71,12 @@ class CDCPipeline:
     # signed delta advances the aggregate.
     maintain_stats: bool = False
     stats_keys: tuple[str, ...] = ("repo",)
+    # opt-in SCD2 history table (operators/scd.py): every attribute
+    # change of (commit, lang, content) becomes a validity interval,
+    # advanced per epoch at O(delta) by historize_epoch's exactly-once
+    # MERGE — the warehouse-facing audit twin of the LWW target.
+    maintain_history: bool = False
+    history_attrs: tuple[str, ...] = ("commit", "lang", "content")
 
     def __post_init__(self) -> None:
         if self.target_mode == "cow":
@@ -107,6 +113,11 @@ class CDCPipeline:
         self.stats = (
             LakeTable(self.spark, os.path.join(self.warehouse, "stats"))
             if self.maintain_stats
+            else None
+        )
+        self.history = (
+            LakeTable(self.spark, os.path.join(self.warehouse, "history"))
+            if self.maintain_history
             else None
         )
         self.checkpoint = os.path.join(self.warehouse, "_checkpoint")
@@ -173,6 +184,22 @@ class CDCPipeline:
             # committed-epoch early return.
             if self.stats is not None:
                 self._maintain_stats(resolved.winners, epoch)
+            if self.history is not None:
+                # SCD2 history from the RAW batch (every event is a
+                # potential version boundary, not just winners) —
+                # O(delta) epoch apply, own ledger ⇒ convergent retries
+                from data_ingestion_resolution_platform_spark.operators.scd import (
+                    historize_epoch,
+                )
+
+                historize_epoch(
+                    self.history,
+                    batch,
+                    list(self.keys),
+                    self.lsn_col,
+                    list(self.history_attrs),
+                    f"h{epoch}",
+                )
             stats = self.target.merge(
                 resolved.winners,
                 list(self.keys),

@@ -455,6 +455,9 @@ HEADLINE = [
     "pagerank",
     "spend_deciles",
     "local_supplier_volume",
+    "events_scd2",
+    "fuzzy_part_match",
+    "topk_orders_per_cust",
 ]
 
 

@@ -3223,6 +3223,83 @@ SQL_VOCAB_TOPK = _vocab_sql()
 
 
 # --------------------------------------------------------------------------
+# Distributed k-means codebook training (round 3)
+# --------------------------------------------------------------------------
+
+_KM_K, _KM_ITERS, _KM_DIM = 8, 2, 64
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (2 Lloyd iterations, k=8) over the
+    embeddings table in exact quantized-integer space: map-only
+    assignment against literal centroids, one k×(dim+1)-long shuffle
+    per update — the IVF codebook-training path. The oracle unrolls
+    the identical iterations as SQL CTEs."""
+    from data_ingestion_resolution_platform_spark.operators.kmeans import (
+        kmeans_fit_predict,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_fit_predict(
+        emb, "embedding", "vec_id", k=_KM_K, iters=_KM_ITERS
+    )
+
+
+def _kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM) -> str:
+    """DuckDB twin of kmeans_fit_predict: same seeds, same encoded
+    argmin, same floor-division centroid update, same empty-cluster
+    carry-forward — unrolled one CTE pair per iteration."""
+
+    def idot(a: str, b: str) -> str:
+        return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+    def enc(qv: str, cv: str, j: str) -> str:
+        return (
+            f"({idot(qv, qv)} - 2 * {idot(qv, cv)} + {idot(cv, cv)}) * {k} + {j}"
+        )
+
+    def fdiv(s: str, n: str) -> str:
+        return f"CAST(({s} - ((({s} % {n}) + {n}) % {n})) / {n} AS BIGINT)"
+
+    sums = ", ".join(fdiv(f"sum(b.qv[{i + 1}])", "count(*)") for i in range(dim))
+    sql = f"""
+WITH base AS (SELECT vec_id, {_QV_SQL} AS qv FROM embeddings),
+c0 AS (
+  SELECT ((vec_id % {k}) + {k}) % {k} AS j, arg_min(qv, vec_id) AS cv
+  FROM base GROUP BY 1
+)"""
+    prev = "c0"
+    for t in range(iters):
+        sql += f""",
+a{t} AS (
+  SELECT b.vec_id, min({enc('b.qv', 'c.cv', 'c.j')}) AS enc
+  FROM base b CROSS JOIN {prev} c GROUP BY b.vec_id
+),
+u{t} AS (
+  SELECT ((a.enc % {k}) + {k}) % {k} AS j, [{sums}] AS cv
+  FROM a{t} a JOIN base b USING (vec_id) GROUP BY 1
+),
+c{t + 1} AS (
+  SELECT p.j, coalesce(u.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN u{t} u ON p.j = u.j
+)"""
+        prev = f"c{t + 1}"
+    sql += f""",
+final AS (
+  SELECT b.vec_id, min({enc('b.qv', 'c.cv', 'c.j')}) AS enc
+  FROM base b CROSS JOIN {prev} c GROUP BY b.vec_id
+)
+SELECT vec_id, CAST(((enc % {k}) + {k}) % {k} AS INT) AS cluster,
+       CAST((enc - (((enc % {k}) + {k}) % {k})) / {k} AS BIGINT) AS dist
+FROM final
+"""
+    return sql
+
+
+SQL_KMEANS = _kmeans_sql()
+
+
+# --------------------------------------------------------------------------
 # SCD2 historization, fuzzy-match join, grouped top-k (round 3)
 # --------------------------------------------------------------------------
 
@@ -3436,7 +3513,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_epoch_status": q_pipeline_epoch_status,
     "stream_tumbling": q_stream_tumbling,
     "stream_dedup": q_stream_dedup,
-    "stream_enrich": q_stream_enrich,
     # -- new in round 3: gate immediately (new code needs the hard row) -----
     "events_scd2": q_events_scd2,
     "events_scd2_asof": q_events_scd2_asof,
@@ -3444,11 +3520,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_part_match": q_fuzzy_part_match,
     "topk_orders_per_cust": q_topk_orders_per_cust,
     "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
+    "kmeans_embeddings": q_kmeans_embeddings,
     # ======================= driver gate window ends =======================
     # Everything below was driver-green in CORRECTNESS_r02 (or, for
     # pipeline_scd2_history, is twin-gated via scd2_incremental); rotates
     # into the window in round 4 so every query keeps a recent hard row.
     "pipeline_scd2_history": q_pipeline_scd2_history,
+    "stream_enrich": q_stream_enrich,
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "dedup_minhash": q_dedup_minhash,
@@ -3572,6 +3650,7 @@ ORACLES: dict[str, str] = {
     "scd2_incremental": SQL_EVENTS_SCD2,
     "cdc_bootstrap_handoff": SQL_BOOTSTRAP_HANDOFF,
     "pipeline_scd2_history": SQL_PIPELINE_SCD2,
+    "kmeans_embeddings": SQL_KMEANS,
     "fuzzy_part_match": SQL_FUZZY_PART,
     "topk_orders_per_cust": SQL_TOPK_PER_CUST,
 }

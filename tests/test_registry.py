@@ -35,6 +35,7 @@ MUST_BE_GATED = {
     # new in round 3: first driver row this round
     "events_scd2", "events_scd2_asof", "scd2_incremental",
     "fuzzy_part_match", "topk_orders_per_cust", "cdc_bootstrap_handoff",
+    "kmeans_embeddings",
 }
 
 

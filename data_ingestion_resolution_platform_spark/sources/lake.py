@@ -645,6 +645,9 @@ class MorLakeTable:
     def epoch_committed(self, epoch_id: str | int) -> bool:
         return self.ledger.committed(epoch_id)
 
+    def committed_epochs(self) -> list[str]:
+        return self.ledger.all()
+
     def n_deltas(self) -> int:
         return len(self._read_manifest()["deltas"])
 

@@ -100,10 +100,18 @@ def scd2_apply_increment(
       result is row-identical to historizing the whole feed at once.
 
     Scale notes (100 TB): every aggregate here is delta-sized (firsts,
-    first-versions); the history participates only through
-    ``open_versions`` filtered by the caller — join it semi-filtered on
-    delta keys so the epoch cost is O(|delta|), never O(|history|).
-    The per-key fix-up frame is broadcast onto the open versions.
+    first-versions). The history participates only through
+    ``open_versions``; the broadcast inner join against the delta-key
+    fix-up frame filters it during the scan (no shuffle of the
+    history), and when the history is stored bucketed/partitioned on
+    the natural key the scan itself prunes to touched buckets — the
+    MERGE that consumes this batch pays the same pruned-rewrite cost,
+    so the epoch's shuffle volume is O(|delta|) throughout.
+
+    The LSN-ordering contract is NOT assumed silently:
+    :func:`historize_epoch` validates the produced batch (any
+    ``valid_to_lsn < valid_from_lsn`` means an out-of-order delta) and
+    refuses to corrupt the table.
     """
     dv = scd2_history(delta, keys, lsn_col, attr_cols, op_col)
     first_ev = F.struct(
@@ -170,7 +178,15 @@ def historize_epoch(
     """Exactly-once epoch apply of a feed delta to a LakeTable-backed
     SCD2 history (MERGE ON (keys, valid_from_lsn); a committed
     ``epoch_id`` short-circuits, so at-least-once redelivery is safe).
-    Seeds the table from scratch on first call."""
+    Seeds the table from scratch on first call.
+
+    Guards the replay contract (delta LSNs strictly after the
+    history's): an out-of-order delta produces a refitted open version
+    with ``valid_to_lsn < valid_from_lsn``, which is detected on the
+    small MERGE batch (1-row aggregate) and raises BEFORE any write —
+    the table is never corrupted, and the epoch stays uncommitted for
+    a correct redelivery.
+    """
     if history.epoch_committed(epoch_id):
         return {"skipped": True, "epoch": str(epoch_id)}
     try:
@@ -184,6 +200,15 @@ def historize_epoch(
         batch = scd2_apply_increment(
             open_v, delta, keys, lsn_col, attr_cols, op_col
         )
+        bad = batch.filter(
+            F.col("valid_to_lsn") < F.col("valid_from_lsn")
+        ).count()  # 1-row scalar over the epoch-sized batch
+        if bad:
+            raise ValueError(
+                f"epoch {epoch_id!r}: {bad} version(s) with valid_to_lsn < "
+                "valid_from_lsn — delta contains LSNs at or before the "
+                "history's open versions (replay contract violated)"
+            )
     return history.merge(batch, [*keys, "valid_from_lsn"], epoch_id=epoch_id)
 
 

@@ -112,6 +112,26 @@ def test_incremental_scd2_equals_one_shot(spark, tmp_path, case):
     assert one_shot.exceptAll(got).count() == 0
 
 
+def test_incremental_scd2_rejects_out_of_order_delta(spark, tmp_path):
+    from data_ingestion_resolution_platform_spark.operators.scd import historize_epoch
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    schema = "key string, lsn long, op string, attr string"
+    hist = LakeTable(spark, str(tmp_path / "scd2_ooo"))
+    historize_epoch(
+        hist, spark.createDataFrame([("k", 10, "I", "a")], schema),
+        ["key"], "lsn", ["attr"], 0,
+    )
+    before = sorted(map(tuple, hist.read().collect()))
+    # delta at LSN 3 — before the open version's valid_from (10)
+    late = spark.createDataFrame([("k", 3, "U", "b")], schema)
+    with pytest.raises(ValueError, match="replay contract"):
+        historize_epoch(hist, late, ["key"], "lsn", ["attr"], 1)
+    # nothing written, epoch not committed — a corrected redelivery works
+    assert sorted(map(tuple, hist.read().collect())) == before
+    assert not hist.epoch_committed(1)
+
+
 def test_incremental_scd2_epoch_idempotent(spark, tmp_path):
     from data_ingestion_resolution_platform_spark.operators.scd import historize_epoch
     from data_ingestion_resolution_platform_spark.sources.lake import LakeTable

@@ -90,7 +90,17 @@ def fuzzy_join(
     """Two-table blocked fuzzy join: every (left, right) pair sharing
     the block key with edit distance ≤ ``max_dist``, plus the distance
     as ``edit_dist``. Caller projects/aliases columns; both inputs must
-    carry ``block_cols`` and disjoint non-block column names."""
+    carry ``block_cols`` and disjoint non-block column names — enforced
+    up front, because a silent duplicate column would make every
+    downstream reference ambiguous (and ``edit_dist`` is reserved)."""
+    overlap = (set(left.columns) & set(right.columns)) - set(block_cols)
+    if overlap:
+        raise ValueError(
+            f"fuzzy_join requires disjoint non-block column names; "
+            f"colliding: {sorted(overlap)}"
+        )
+    if "edit_dist" in (*left.columns, *right.columns):
+        raise ValueError("'edit_dist' is reserved for the output distance")
     dist = F.levenshtein(F.col(left_text), F.col(right_text))
     return (
         left.join(right, on=list(block_cols))

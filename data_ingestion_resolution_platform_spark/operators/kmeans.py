@@ -59,6 +59,8 @@ def kmeans_fit_predict(
     Deterministic init: centroid j = the quantized vector of the
     smallest id with ``id % k == j``.
     """
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1 and iters >= 0, got k={k} iters={iters}")
     q = emb.select(
         F.col(id_col).alias("__vid"),
         quantize_vector(F.col(vec_col), scale).alias("__qv"),
@@ -69,9 +71,13 @@ def kmeans_fit_predict(
             .groupBy("__j")
             .agg(F.min_by("__qv", F.col("__vid")).alias("cv"))
         )
+        # ids sparser than k leave some j unseeded: those clusters simply
+        # never exist (assignment iterates the seeded ones only)
         cents: dict[int, list[int]] = {
             int(r["__j"]): [int(v) for v in r["cv"]] for r in seeds.collect()
         }
+        if not cents:
+            raise ValueError("kmeans_fit_predict: empty input")
         dim = len(next(iter(cents.values())))
         qq = F.aggregate(
             F.zip_with(F.col("__qv"), F.col("__qv"), lambda x, y: x * y),

@@ -170,6 +170,13 @@ def test_fuzzy_join_two_tables(spark):
     assert [(r["lid"], r["rid"], r["edit_dist"]) for r in got] == [(1, 7, 1)]
 
 
+def test_fuzzy_join_rejects_colliding_columns(spark):
+    left = spark.createDataFrame([(1, "a", 0)], ["name", "extra", "blk"])
+    right = spark.createDataFrame([(2, "b", 0)], ["rname", "extra", "blk"])
+    with pytest.raises(ValueError, match="colliding.*extra"):
+        fuzzy_join(left, right, "name", "rname", ["blk"], max_dist=1)
+
+
 # ---------------------------------------------------------------- topk ----
 
 def test_grouped_topk_identical_to_window_under_skew(spark):

@@ -567,6 +567,58 @@ def main() -> None:
         print(json.dumps(run_resolve_core(par, n_events)))
         return
 
+    if "--scaling-core" in sys.argv:
+        # Focused core-probe rerun: the full --scaling mode spends most of
+        # its wall on the two e2e variants, so its core median rests on
+        # only 3 paired ratios — too few against this VM's ±40% multi-
+        # minute host drift (r03 observed pair ratios 0.697..1.363).
+        # This mode runs ONLY the disk-free compute-core pair, with more
+        # reps, for a tighter median of time-paired ratios.
+        n = max(2, int(cpus * 0.75) // 4)
+        n4 = n * 4
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "7"))
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CONTENT_WORDS=os.environ.get("SPARK_GRAFT_CONTENT_WORDS", "150"),
+        )
+        env.setdefault("SPARK_DRIVER_MEMORY", "48g")
+        ratios: list[float] = []
+        best: dict[int, dict] = {}
+        for rep in range(reps):
+            pair: dict[int, dict] = {}
+            for par in (n4, n):
+                subprocess.run(["sync"], check=False)
+                time.sleep(5)
+                proc = subprocess.run(
+                    ["taskset", "-c", f"0-{par - 1}",
+                     sys.executable, __file__, "--core-only", str(par)],
+                    capture_output=True, text=True, env=env,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                r = json.loads(proc.stdout.strip().splitlines()[-1])
+                pair[par] = r
+                if par not in best or r["events_per_sec"] > best[par]["events_per_sec"]:
+                    best[par] = r
+            ratios.append(
+                (pair[n4]["events_per_sec"] / pair[n]["events_per_sec"]) / (n4 / n)
+            )
+            print(json.dumps({"rep": rep, "ratio": round(ratios[-1], 3)}),
+                  file=sys.stderr)
+        rs = sorted(ratios)
+        med = rs[len(rs) // 2] if reps % 2 else (rs[reps // 2 - 1] + rs[reps // 2]) / 2
+        print(json.dumps({
+            "metric": "cdc_core_scaling_efficiency",
+            "value": round(med, 3),
+            "unit": "ratio",
+            "n": n, "4n": n4,
+            "core_ratio_reps": [round(x, 3) for x in ratios],
+            "core_events_per_sec_n": best[n]["events_per_sec"],
+            "core_events_per_sec_4n": best[n4]["events_per_sec"],
+            "core_events": best[n]["events"],
+            "reps": reps,
+        }))
+        return
+
     if "--growth" in sys.argv:
         out = {
             "metric": "merge_cost_vs_target_growth",

@@ -114,6 +114,11 @@ def _uncast_sums(sql: str) -> int:
 #   pagerank              : sum(rank) over DOUBLE — DuckDB returns DOUBLE
 #   repetition_stats      : CTE n_tokens re-cast at the final SELECT
 #   shard_packing         : wrapped as CAST(coalesce(sum(..) OVER ..))
+#   kmeans_embeddings     : sum(b.qv[i]) appears 3x per dimension inside the
+#                           fdiv() floor-division macro, whose WHOLE
+#                           expression is CAST(... AS BIGINT); HUGEINT only
+#                           exists as interior arithmetic, and both compared
+#                           columns (cluster, dist) carry explicit casts
 _REVIEWED_UNCAST = {
     "orders_above_cust_avg": 1,
     "events_session_window": 1,
@@ -121,6 +126,7 @@ _REVIEWED_UNCAST = {
     "pagerank": 10,
     "repetition_stats": 1,
     "shard_packing": 1,
+    "kmeans_embeddings": 256,
 }
 
 

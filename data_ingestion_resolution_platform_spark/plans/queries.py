@@ -2332,13 +2332,17 @@ def q_contacts_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(d)
     )
     out = normalize_contacts(read_contacts_csv(spark, d))
+    # issues is array<string> internally; emit it joined ("|") because the
+    # driver's pandas canonicalizer sort_values() dies on list-valued cells
+    # (CORRECTNESS_r03 ERR) — compared output columns must be scalar, pinned
+    # for the whole registry by test_entry_contract's nested-type lint.
     return out.select(
         F.col("_row_number").alias("row_num"),
         "email",
         "normalized_email",
         "first_name_clean",
         "company_clean",
-        "issues",
+        F.array_join(F.col("issues"), "|").alias("issues"),
         "is_valid",
     )
 
@@ -2379,13 +2383,13 @@ WITH c AS (
 )
 SELECT row_num, email, norm_email AS normalized_email,
        fn_clean AS first_name_clean, co_clean AS company_clean,
-       list_filter([
+       array_to_string(list_filter([
          CASE WHEN norm_email IS NULL THEN 'MISSING_EMAIL' END,
          CASE WHEN norm_email IS NOT NULL AND NOT {_VALID_SQL} THEN 'INVALID_EMAIL_FORMAT' END,
          CASE WHEN fn_clean IS NULL THEN 'MISSING_FIRST_NAME' END,
          'MISSING_LAST_NAME',
          CASE WHEN co_clean IS NULL THEN 'MISSING_COMPANY' END
-       ], x -> x IS NOT NULL) AS issues,
+       ], x -> x IS NOT NULL), '|') AS issues,
        FALSE AS is_valid  -- last_name column is absent, so every row has >=1 issue
 FROM n
 """

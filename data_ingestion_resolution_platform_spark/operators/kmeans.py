@@ -94,7 +94,9 @@ def kmeans_fit_predict(
                 cc = sum(v * v for v in c)
                 dist = qq - F.lit(2) * _dot_lit(F.col("__qv"), c) + F.lit(cc)
                 terms.append(dist * F.lit(k) + F.lit(j))
-            return F.least(*terms)
+            # F.least requires >= 2 columns; one seeded cluster (k=1, or
+            # ids all in a single residue class mod k) is legal input
+            return terms[0] if len(terms) == 1 else F.least(*terms)
 
         for _ in range(iters):
             asg = q.withColumn("__cl", F.pmod(enc_expr(), F.lit(k)))

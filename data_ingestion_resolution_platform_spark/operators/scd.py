@@ -200,12 +200,17 @@ def historize_epoch(
         batch = scd2_apply_increment(
             open_v, delta, keys, lsn_col, attr_cols, op_col
         )
+        # <= not <: a delta whose first LSN EQUALS an open version's
+        # valid_from_lsn would produce a zero-length version plus two
+        # batch rows sharing the MERGE key (keys, valid_from_lsn) —
+        # legitimate in-order deltas always close strictly after
+        # valid_from_lsn, so equality is a contract violation too.
         bad = batch.filter(
-            F.col("valid_to_lsn") < F.col("valid_from_lsn")
+            F.col("valid_to_lsn") <= F.col("valid_from_lsn")
         ).count()  # 1-row scalar over the epoch-sized batch
         if bad:
             raise ValueError(
-                f"epoch {epoch_id!r}: {bad} version(s) with valid_to_lsn < "
+                f"epoch {epoch_id!r}: {bad} version(s) with valid_to_lsn <= "
                 "valid_from_lsn — delta contains LSNs at or before the "
                 "history's open versions (replay contract violated)"
             )

@@ -15,9 +15,13 @@ before discarding all but k. Fine for balanced keys; a hot key at
 
 Top-k of per-salt top-ks is exact: any global top-k row is in its own
 salt's top-k, since both phases use the same total struct ordering.
-Both shuffles move at most n_salt·k rows per key regardless of input
-skew — map-side partial aggregation applies to the collect_list in
-phase 1, so the first shuffle is already truncated.
+Note the bound that actually holds (same as ``cdc.py``'s
+``bounded_candidates``): ``collect_list`` partials are NOT sliced until
+the phase-1 reduce, so the first shuffle and its map-side state still
+carry every row of each (key, salt) group — what salting buys is the
+hard REDUCER-state bound (≤ salt share in phase 1, ≤ n_salt·k rows per
+key in phase 2), which is where a hot key actually dies. Only the
+phase-2 shuffle is k-truncated.
 """
 
 from __future__ import annotations

@@ -298,12 +298,54 @@ class CDCPipeline:
         At 10^10 events this is the only sane cold-start: replaying
         the full history through the resolver costs O(history), the
         snapshot MERGE costs O(|table|) once.
+
+        Maintained side tables are seeded too — a snapshot-seeded
+        target with an empty stats table would make the next epoch's
+        ``_maintain_stats`` subtract pre-images that were never added
+        (silently wrong aggregate), and an unseeded history would miss
+        the snapshot keys' current versions. Both seeds ride their own
+        epoch ledgers and run BEFORE the target merge (same crash-retry
+        ordering argument as ``process_batch``: the target ledger's
+        early return must imply the side tables committed).
         """
         if self.target.epoch_committed(epoch_id):
             return {"skipped": True, "epoch": epoch_id}
         batch = snapshot.withColumn("op", F.lit("I")).withColumn(
             self.lsn_col, F.lit(watermark_lsn).cast("long")
         )
+        if self.stats is not None:
+            from data_ingestion_resolution_platform_spark.operators.ivm import (
+                maintain_aggregate,
+            )
+
+            cdf = snapshot.select(
+                *self.keys, "lang", "content", F.lit("insert").alias("change_type")
+            )
+            maintain_aggregate(
+                self.stats,
+                cdf,
+                list(self.stats_keys),
+                {"total_bytes": "length(content)"},
+                epoch_id=f"m_{epoch_id}",
+                count_alias="n_paths",
+            )
+        if self.history is not None:
+            # snapshot keys enter the SCD2 history as open versions
+            # valid from the watermark LSN — point-in-time reads before
+            # the watermark stay empty by contract (the snapshot holds
+            # no pre-watermark change history to reconstruct)
+            from data_ingestion_resolution_platform_spark.operators.scd import (
+                historize_epoch,
+            )
+
+            historize_epoch(
+                self.history,
+                batch,
+                list(self.keys),
+                self.lsn_col,
+                list(self.history_attrs),
+                f"h_{epoch_id}",
+            )
         return self.target.merge(batch, list(self.keys), epoch_id=epoch_id)
 
     # -- streaming entry --------------------------------------------------

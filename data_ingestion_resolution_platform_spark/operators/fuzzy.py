@@ -35,6 +35,33 @@ def length_bucket(col: Column, width: int = 4) -> Column:
     return (F.length(col) / F.lit(width)).cast("int")
 
 
+_LB = "__lb"
+
+
+def _banded(
+    a: DataFrame, b: DataFrame, a_text: str, b_text: str,
+    width: int, max_dist: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Refine a blocked join with length buckets, losing NO true pair:
+    any pair within ``max_dist`` edits has ``|len(a)-len(b)| ≤ max_dist
+    ≤ width``, so their buckets differ by at most 1. Side ``a`` keeps
+    its own bucket; side ``b`` explodes to {lb-1, lb, lb+1} — every
+    qualifying pair matches EXACTLY once, at key ``bucket(a)`` (no
+    dedup pass needed). The 3× explode of one side buys a pair count of
+    ~3·B²/L per block instead of B² (L = distinct length buckets)."""
+    if width < max_dist:
+        raise ValueError(
+            f"length bucket width {width} < max_dist {max_dist}: adjacent-"
+            "bucket probing would miss pairs (need width >= max_dist)"
+        )
+    lb_a = length_bucket(F.col(a_text), width)
+    lb_b = length_bucket(F.col(b_text), width)
+    return (
+        a.withColumn(_LB, lb_a),
+        b.withColumn(_LB, F.explode(F.array(lb_b - 1, lb_b, lb_b + 1))),
+    )
+
+
 def fuzzy_self_pairs(
     df: DataFrame,
     id_col: str,
@@ -42,11 +69,37 @@ def fuzzy_self_pairs(
     block_cols: Sequence[str],
     max_dist: int,
     extra_cols: Sequence[str] = (),
+    length_bucket_width: int | None = None,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs within blocks: (id_a < id_b,
     levenshtein(text_a, text_b) ≤ max_dist). Output columns:
     ``block_cols…, id_a, id_b, text_a, text_b, extra pairs…,
-    edit_dist``."""
+    edit_dist``.
+
+    ``length_bucket_width`` (≥ max_dist; recommended ≥ 2·max_dist so
+    most true pairs land same-bucket) composes a length bucket into the
+    block key via :func:`_banded` — REQUIRED whenever ``block_cols``
+    alone has fixed cardinality, because block size then grows linearly
+    with data and the within-block pair count quadratically. Recall is
+    exactly unchanged (the pre-filter below already discards any pair
+    the bucketing could discard), so results are bit-identical.
+
+    ``collapse_exact`` runs the quadratic join over DISTINCT (block,
+    text) values only, then expands representatives back to id pairs
+    with two equi-joins — also bit-identical output. This is the lever
+    that actually bounds cost when the text column has bounded entropy
+    (short strings / fixed vocabulary): duplicates explode linearly
+    with data while the distinct set saturates, so the levenshtein pair
+    count becomes quadratic in DISTINCT names, not rows (measured on
+    the part table at sf0.1: 8.0M → 204k candidate pairs, 39×). Length
+    banding prunes the complementary regime — long, high-entropy
+    strings with spread lengths — so the two compose."""
+    if collapse_exact:
+        return _collapsed_self_pairs(
+            df, id_col, text_col, block_cols, max_dist, extra_cols,
+            length_bucket_width,
+        )
     keep = [id_col, text_col, *extra_cols]
     a = df.select(
         *block_cols, *[F.col(c).alias(f"{c}_a") for c in keep]
@@ -54,9 +107,15 @@ def fuzzy_self_pairs(
     b = df.select(
         *block_cols, *[F.col(c).alias(f"{c}_b") for c in keep]
     )
+    join_cols = list(block_cols)
+    if length_bucket_width is not None:
+        a, b = _banded(
+            a, b, f"{text_col}_a", f"{text_col}_b", length_bucket_width, max_dist
+        )
+        join_cols.append(_LB)
     dist = F.levenshtein(F.col(f"{text_col}_a"), F.col(f"{text_col}_b"))
     pairs = (
-        a.join(b, on=list(block_cols))
+        a.join(b, on=join_cols)
         .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
         # cheap bound first: |len difference| ≤ max_dist is necessary
         .filter(
@@ -79,6 +138,70 @@ def fuzzy_self_pairs(
     )
 
 
+def _collapsed_self_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    max_dist: int,
+    extra_cols: Sequence[str],
+    length_bucket_width: int | None,
+) -> DataFrame:
+    """Exact-duplicate collapse: levenshtein over distinct (block,
+    text) ORDERED pairs (including text_a == text_b, edit 0), then two
+    equi-joins expand representatives to member id pairs. Every
+    unordered id pair {x, y} with id_x < id_y surfaces exactly once —
+    from the ordered text pair (text(x), text(y)) — so no orientation
+    fix-up is needed. The candidate frame is distinct²-sized (tiny ⇒
+    AQE broadcasts it into both expansion joins); the expansion's
+    output IS the result, so its cost is the irreducible output size."""
+    blocks = list(block_cols)
+    d = df.select(*blocks, text_col).distinct()
+    da = d.select(*blocks, F.col(text_col).alias("text_a"))
+    db = d.select(*blocks, F.col(text_col).alias("text_b"))
+    join_cols = list(blocks)
+    if length_bucket_width is not None:
+        da, db = _banded(da, db, "text_a", "text_b", length_bucket_width, max_dist)
+        join_cols.append(_LB)
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
+    cand = (
+        da.join(db, on=join_cols)
+        .filter(
+            F.abs(F.length(F.col("text_a")) - F.length(F.col("text_b")))
+            <= F.lit(max_dist)
+        )
+        .filter(dist <= F.lit(max_dist))
+        .select(*blocks, "text_a", "text_b", dist.alias("edit_dist"))
+    )
+    ma = df.select(
+        *blocks,
+        F.col(text_col).alias("text_a"),
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in extra_cols],
+    )
+    mb = df.select(
+        *blocks,
+        F.col(text_col).alias("text_b"),
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in extra_cols],
+    )
+    return (
+        cand.join(ma, on=[*blocks, "text_a"])
+        .join(mb, on=[*blocks, "text_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            *blocks,
+            "id_a",
+            "id_b",
+            "text_a",
+            "text_b",
+            *[f"{c}_a" for c in extra_cols],
+            *[f"{c}_b" for c in extra_cols],
+            "edit_dist",
+        )
+    )
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -86,6 +209,7 @@ def fuzzy_join(
     right_text: str,
     block_cols: Sequence[str],
     max_dist: int,
+    length_bucket_width: int | None = None,
 ) -> DataFrame:
     """Two-table blocked fuzzy join: every (left, right) pair sharing
     the block key with edit distance ≤ ``max_dist``, plus the distance
@@ -101,9 +225,15 @@ def fuzzy_join(
         )
     if "edit_dist" in (*left.columns, *right.columns):
         raise ValueError("'edit_dist' is reserved for the output distance")
+    join_cols = list(block_cols)
+    if length_bucket_width is not None:
+        left, right = _banded(
+            left, right, left_text, right_text, length_bucket_width, max_dist
+        )
+        join_cols.append(_LB)
     dist = F.levenshtein(F.col(left_text), F.col(right_text))
-    return (
-        left.join(right, on=list(block_cols))
+    out = (
+        left.join(right, on=join_cols)
         .filter(
             F.abs(F.length(F.col(left_text)) - F.length(F.col(right_text)))
             <= F.lit(max_dist)
@@ -111,3 +241,4 @@ def fuzzy_join(
         .filter(dist <= F.lit(max_dist))
         .withColumn("edit_dist", dist)
     )
+    return out.drop(_LB) if length_bucket_width is not None else out

@@ -170,6 +170,86 @@ def test_fuzzy_join_two_tables(spark):
     assert [(r["lid"], r["rid"], r["edit_dist"]) for r in got] == [(1, 7, 1)]
 
 
+def test_fuzzy_banded_exact_recall_on_part(spark, sf_dir):
+    """Length-bucket banding must be result-invisible: banded pairs ==
+    plain-blocked pairs on the real part table (the registered query's
+    configuration), including cross-bucket pairs near boundaries."""
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_partkey", "p_name", "p_size")
+    )
+    plain = {
+        (r["id_a"], r["id_b"], r["edit_dist"])
+        for r in fuzzy_self_pairs(
+            part, "p_partkey", "p_name", ["p_size"], max_dist=3
+        ).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"], r["edit_dist"])
+        for r in fuzzy_self_pairs(
+            part, "p_partkey", "p_name", ["p_size"], max_dist=3,
+            length_bucket_width=8,
+        ).collect()
+    }
+    assert plain == banded and plain
+    # the registered query's configuration: banding + duplicate collapse
+    collapsed = {
+        (r["id_a"], r["id_b"], r["edit_dist"])
+        for r in fuzzy_self_pairs(
+            part, "p_partkey", "p_name", ["p_size"], max_dist=3,
+            length_bucket_width=4, collapse_exact=True,
+        ).collect()
+    }
+    assert plain == collapsed
+
+
+def test_fuzzy_collapse_exact_with_extras(spark):
+    rows = [
+        (1, "kitten", 10, "u"), (2, "kitten", 10, "v"),  # exact dups
+        (3, "sittin", 10, "w"), (4, "zebra", 10, "x"),
+        (5, "kitten", 20, "y"),  # other block
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "blk", "tag"])
+    out = fuzzy_self_pairs(
+        df, "id", "name", ["blk"], max_dist=2, extra_cols=["tag"],
+        collapse_exact=True,
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["edit_dist"], r["tag_a"], r["tag_b"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 2, 0, "u", "v"),
+        (1, 3, 2, "u", "w"),
+        (2, 3, 2, "v", "w"),
+    }
+    assert out.columns == [
+        "blk", "id_a", "id_b", "text_a", "text_b", "tag_a", "tag_b", "edit_dist"
+    ]
+
+
+def test_fuzzy_banded_synthetic_boundary_pairs(spark):
+    # names straddling a bucket boundary (len 7 vs 9 with width 8:
+    # buckets 0 and 1) must still pair via the adjacent-bucket probe
+    rows = [(1, "abcdefg", 0), (2, "abcdefgxy", 0), (3, "abcdefgx", 0)]
+    df = spark.createDataFrame(rows, ["id", "name", "blk"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_self_pairs(
+            df, "id", "name", ["blk"], max_dist=2, length_bucket_width=8
+        ).collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_fuzzy_banded_rejects_narrow_width(spark):
+    df = spark.createDataFrame([(1, "a", 0)], ["id", "name", "blk"])
+    with pytest.raises(ValueError, match="width"):
+        fuzzy_self_pairs(
+            df, "id", "name", ["blk"], max_dist=4, length_bucket_width=3
+        ).collect()
+
+
 def test_fuzzy_join_rejects_colliding_columns(spark):
     left = spark.createDataFrame([(1, "a", 0)], ["name", "extra", "blk"])
     right = spark.createDataFrame([(2, "b", 0)], ["rname", "extra", "blk"])

@@ -4,15 +4,24 @@ classic Spark-MLlib-shaped plan in exact integer arithmetic.
 
 Per iteration:
 
-- **assign** is map-only: the k centroids are folded into the plan as
-  literal arrays (k × dim longs — driver state bounded by the model,
-  never the data), each row's nearest centroid computed via
-  ``least(dist_j · k + j)`` in whole-stage codegen. The corpus is
-  NEVER shuffled for assignment.
+- **assign** is map-only — the corpus is NEVER shuffled. Two backends
+  with bit-identical results:
+
+  * ``expr`` (default for k·dim ≤ 4096): the k centroids fold into the
+    plan as literal arrays, nearest centroid via ``least(dist_j·k + j)``
+    in whole-stage codegen. Expression size is O(k·dim) literals inside
+    one ``least`` — past ~4096 it blows codegen's method-size limit and
+    Spark falls back to interpreted mode, so
+  * ``pandas`` (default above 4096): the codebook broadcasts as a numpy
+    int64 matrix inside an Arrow ``mapInPandas`` closure; distances are
+    one vectorized ``V @ Cᵀ`` per batch. Still map-only, still exact
+    integer arithmetic, and the k·dim product is bounded only by
+    executor memory for the codebook (k=4096 × dim=768 ≈ 25 MB).
+
 - **update** is ONE hash aggregation: per-dimension component sums +
   counts per cluster, map-side combined, shuffling k × (dim+1) longs
   per map task regardless of corpus size. The ≤ k-row result is
-  collected (bounded) and becomes the next iteration's literals.
+  collected (bounded) and becomes the next iteration's codebook.
 
 Exactness (what makes a DuckDB value-hash oracle possible): vectors
 are quantized to longs (round(x·1000)); distances are integer dot
@@ -32,6 +41,13 @@ from pyspark.sql import functions as F
 
 from data_ingestion_resolution_platform_spark.functions.vectors import quantize_vector
 
+# measured codegen envelope: one least() over k terms, each carrying dim
+# literal longs — ~4096 total literals is where generated-method size
+# starts tripping the 64KB JVM limit and whole-stage codegen bails
+CODEGEN_KDIM_LIMIT = 4096
+
+_ENC_SCHEMA = "__vid long, __qv array<long>, __enc long"
+
 
 def _dot_lit(qv: Column, c: list[int]) -> Column:
     """Exact integer dot product of a quantized vector column against a
@@ -44,21 +60,87 @@ def _dot_lit(qv: Column, c: list[int]) -> Column:
     )
 
 
-def kmeans_fit_predict(
+def enc_terms(cents: dict[int, list[int]], k: int, col: str = "__qv") -> list[Column]:
+    """Per seeded cluster j (ascending): dist_j·k + j where dist_j =
+    |q|² - 2 q·c_j + |c_j|² — the (dist, j) tie-break encoding shared
+    by assignment (min over terms) and IVF cell probing (sorted
+    prefix)."""
+    qq = F.aggregate(
+        F.zip_with(F.col(col), F.col(col), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    terms = []
+    for j in sorted(cents):
+        c = cents[j]
+        cc = sum(v * v for v in c)
+        dist = qq - F.lit(2) * _dot_lit(F.col(col), c) + F.lit(cc)
+        terms.append(dist * F.lit(k) + F.lit(j))
+    return terms
+
+
+def _enc_expr(cents: dict[int, list[int]], k: int, col: str = "__qv") -> Column:
+    terms = enc_terms(cents, k, col)
+    # F.least requires >= 2 columns; one seeded cluster (k=1, or ids
+    # occupying a single residue class mod k) is legal input
+    return terms[0] if len(terms) == 1 else F.least(*terms)
+
+
+def _with_enc_expr(q: DataFrame, cents: dict[int, list[int]], k: int) -> DataFrame:
+    return q.select("__vid", "__qv", _enc_expr(cents, k).alias("__enc"))
+
+
+def _with_enc_pandas(q: DataFrame, cents: dict[int, list[int]], k: int) -> DataFrame:
+    """Arrow map-only assignment: codebook as a broadcast-by-closure
+    numpy matrix, one matmul per record batch. Same integer arithmetic
+    and (dist, j) tie-break encoding as the expr path — bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    ids = sorted(cents)
+    cmat = np.array([cents[j] for j in ids], dtype=np.int64)  # m × dim
+    cc = (cmat * cmat).sum(axis=1)  # |c_j|², m
+    jarr = np.array(ids, dtype=np.int64)
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vmat = np.array(pdf["__qv"].tolist(), dtype=np.int64)  # n × dim
+            qq = (vmat * vmat).sum(axis=1)
+            dist = qq[:, None] - 2 * (vmat @ cmat.T) + cc[None, :]
+            enc = dist * k + jarr[None, :]
+            yield pd.DataFrame(
+                {"__vid": pdf["__vid"], "__qv": pdf["__qv"], "__enc": enc.min(axis=1)}
+            )
+
+    return q.mapInPandas(fn, _ENC_SCHEMA)
+
+
+def _pick_assign(cents: dict[int, list[int]], k: int, mode: str):
+    if mode == "auto":
+        dim = len(next(iter(cents.values())))
+        mode = "pandas" if k * dim > CODEGEN_KDIM_LIMIT else "expr"
+    if mode == "expr":
+        return _with_enc_expr
+    if mode == "pandas":
+        return _with_enc_pandas
+    raise ValueError(f"assign_mode must be auto|expr|pandas, got {mode!r}")
+
+
+def kmeans_fit(
     emb: DataFrame,
     vec_col: str,
     id_col: str,
     k: int = 8,
     iters: int = 2,
     scale: int = 1000,
-) -> DataFrame:
-    """Train k centroids with ``iters`` Lloyd iterations and return the
-    final assignment: ``(id_col, cluster int, dist long)`` where dist
-    is the exact squared L2 distance in quantized integer space.
-
-    Deterministic init: centroid j = the quantized vector of the
-    smallest id with ``id % k == j``.
-    """
+    assign_mode: str = "auto",
+) -> dict[int, list[int]]:
+    """Train and return the codebook: {cluster id → quantized centroid
+    (list of longs)}. Deterministic init: centroid j = the quantized
+    vector of the smallest id with ``id % k == j`` (ids sparser than k
+    leave some j unseeded — those clusters never exist)."""
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1 and iters >= 0, got k={k} iters={iters}")
     q = emb.select(
@@ -71,35 +153,17 @@ def kmeans_fit_predict(
             .groupBy("__j")
             .agg(F.min_by("__qv", F.col("__vid")).alias("cv"))
         )
-        # ids sparser than k leave some j unseeded: those clusters simply
-        # never exist (assignment iterates the seeded ones only)
         cents: dict[int, list[int]] = {
             int(r["__j"]): [int(v) for v in r["cv"]] for r in seeds.collect()
         }
         if not cents:
-            raise ValueError("kmeans_fit_predict: empty input")
+            raise ValueError("kmeans_fit: empty input")
         dim = len(next(iter(cents.values())))
-        qq = F.aggregate(
-            F.zip_with(F.col("__qv"), F.col("__qv"), lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-        def enc_expr() -> Column:
-            # dist_j = |q|² - 2 q·c_j + |c_j|²; encode (dist, j) as
-            # dist·k + j so least() breaks ties toward the smaller j
-            terms = []
-            for j in sorted(cents):
-                c = cents[j]
-                cc = sum(v * v for v in c)
-                dist = qq - F.lit(2) * _dot_lit(F.col("__qv"), c) + F.lit(cc)
-                terms.append(dist * F.lit(k) + F.lit(j))
-            # F.least requires >= 2 columns; one seeded cluster (k=1, or
-            # ids all in a single residue class mod k) is legal input
-            return terms[0] if len(terms) == 1 else F.least(*terms)
-
+        assign = _pick_assign(cents, k, assign_mode)
         for _ in range(iters):
-            asg = q.withColumn("__cl", F.pmod(enc_expr(), F.lit(k)))
+            asg = assign(q, cents, k).withColumn(
+                "__cl", F.pmod(F.col("__enc"), F.lit(k))
+            )
             upd = asg.groupBy("__cl").agg(
                 *[F.sum(F.col("__qv")[i]).alias(f"s{i}") for i in range(dim)],
                 F.count(F.lit(1)).alias("n"),
@@ -107,12 +171,48 @@ def kmeans_fit_predict(
             for r in upd.collect():  # ≤ k rows (the codebook)
                 n = int(r["n"])
                 cents[int(r["__cl"])] = [int(r[f"s{i}"]) // n for i in range(dim)]
-
-        enc = enc_expr()
-        return q.select(
-            F.col("__vid").alias(id_col),
-            F.pmod(enc, F.lit(k)).cast("int").alias("cluster"),
-            ((enc - F.pmod(enc, F.lit(k))) / F.lit(k)).cast("long").alias("dist"),
-        )
+        return cents
     finally:
         q.unpersist()
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    cents: dict[int, list[int]],
+    vec_col: str,
+    id_col: str,
+    k: int,
+    scale: int = 1000,
+    assign_mode: str = "auto",
+) -> DataFrame:
+    """Map-only nearest-centroid assignment of a (possibly different)
+    frame against a trained codebook: ``(id_col, cluster int, dist
+    long)`` with dist the exact squared L2 in quantized space."""
+    q = emb.select(
+        F.col(id_col).alias("__vid"),
+        quantize_vector(F.col(vec_col), scale).alias("__qv"),
+    )
+    assign = _pick_assign(cents, k, assign_mode)
+    enc = assign(q, cents, k)
+    return enc.select(
+        F.col("__vid").alias(id_col),
+        F.pmod(F.col("__enc"), F.lit(k)).cast("int").alias("cluster"),
+        ((F.col("__enc") - F.pmod(F.col("__enc"), F.lit(k))) / F.lit(k))
+        .cast("long")
+        .alias("dist"),
+    )
+
+
+def kmeans_fit_predict(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+    assign_mode: str = "auto",
+) -> DataFrame:
+    """Train k centroids with ``iters`` Lloyd iterations and return the
+    final assignment (see :func:`kmeans_fit` / :func:`kmeans_assign`)."""
+    cents = kmeans_fit(emb, vec_col, id_col, k, iters, scale, assign_mode)
+    return kmeans_assign(emb, cents, vec_col, id_col, k, scale, assign_mode)

@@ -87,3 +87,61 @@ def test_kmeans_duplicate_points_tie_deterministically(spark):
     # smallest cluster id — one cluster takes everything
     assert {r["cluster"] for r in out} == {0}
     assert {r["dist"] for r in out} == {0}
+
+
+def test_kmeans_pandas_assign_bit_identical(emb):
+    """The Arrow fallback must reproduce the codegen path exactly —
+    same integer arithmetic, same (dist, j) tie-break encoding."""
+    raw, df = emb
+    a = sorted(
+        map(tuple, kmeans_fit_predict(
+            df, "embedding", "vec_id", k=3, iters=2, assign_mode="expr"
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, kmeans_fit_predict(
+            df, "embedding", "vec_id", k=3, iters=2, assign_mode="pandas"
+        ).collect())
+    )
+    assert a == b
+
+
+def test_kmeans_large_k_auto_falls_back_to_pandas(spark, sf_dir):
+    """k=256 × dim=64 = 16384 > CODEGEN_KDIM_LIMIT: auto must route to
+    the Arrow path (an unrolled least() at this size overruns codegen's
+    method limit) and the job must plan + run end-to-end."""
+    from data_ingestion_resolution_platform_spark.operators.kmeans import (
+        CODEGEN_KDIM_LIMIT,
+        kmeans_fit,
+        kmeans_assign,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = 256
+    assert k * 64 > CODEGEN_KDIM_LIMIT
+    cents = kmeans_fit(emb, "embedding", "vec_id", k=k, iters=1)
+    assert len(cents) >= 1 and all(len(c) == 64 for c in cents.values())
+    out = kmeans_assign(emb, cents, "embedding", "vec_id", k=k)
+    # the fallback plan must not contain the unrolled least() chain
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "least(" not in plan
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert all(r["dist"] >= 0 for r in rows)
+
+
+def test_kmeans_fit_assign_composition_matches_fit_predict(emb):
+    from data_ingestion_resolution_platform_spark.operators.kmeans import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    raw, df = emb
+    cents = kmeans_fit(df, "embedding", "vec_id", k=3, iters=2)
+    via_parts = sorted(
+        map(tuple, kmeans_assign(df, cents, "embedding", "vec_id", k=3).collect())
+    )
+    direct = sorted(
+        map(tuple, kmeans_fit_predict(df, "embedding", "vec_id", k=3, iters=2).collect())
+    )
+    assert via_parts == direct

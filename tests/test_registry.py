@@ -127,6 +127,10 @@ _REVIEWED_UNCAST = {
     "repetition_stats": 1,
     "shard_packing": 1,
     "kmeans_embeddings": 256,
+    # same fdiv() floor-division macro as kmeans_embeddings (shared
+    # _kmeans_chain): 64 dims × 2 interior sums × 2 iterations, every
+    # compared column explicitly cast
+    "ann_ivf_kmeans": 256,
 }
 
 

@@ -266,6 +266,113 @@ def run_growth_sweep(parallelism: int, adaptive: bool) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_scd2_growth(parallelism: int) -> dict:
+    """SCD2-history growth sweep (r3 verdict #7): does per-epoch
+    historization cost track the OPEN set or the ACCUMULATED history?
+
+    Per-epoch fixed overhead (job launch + the delta window agg, ~4 s at
+    any size) hides an O(|history|) term until the history is GB-sized,
+    so growing it epoch-by-epoch shows nothing. Instead: bulk-seed the
+    history (untimed) at a SMALL and a LARGE version count — same key
+    count and open set, only the closed-version depth differs — then
+    time identical update epochs against each. The plain-LakeTable arm
+    pays O(|history|) per epoch twice (the ``is_current == 1`` scan and
+    the COW rewrite), so its epoch cost must grow toward the large
+    seed; the Scd2HistoryStore arm reads and rewrites only the open
+    snapshot, so ``large_over_small`` ≈ 1 is the flat-cost claim."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_resolution_platform_spark.operators.scd import (
+        Scd2HistoryStore,
+        historize_epoch,
+    )
+    from data_ingestion_resolution_platform_spark.session import get_spark
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    spark = get_spark("bench_scd2_growth", parallelism=parallelism)
+    keys_n = int(os.environ.get("SPARK_GRAFT_SCD2_KEYS", "100000"))
+    small_v = int(os.environ.get("SPARK_GRAFT_SCD2_SMALL_VERSIONS", "4"))
+    large_v = int(os.environ.get("SPARK_GRAFT_SCD2_LARGE_VERSIONS", "40"))
+    upd_keys = int(os.environ.get("SPARK_GRAFT_SCD2_UPD_KEYS", "20000"))
+    upd_epochs = int(os.environ.get("SPARK_GRAFT_SCD2_UPD_EPOCHS", "3"))
+    wh = tempfile.mkdtemp(
+        prefix="bench_scd2_", dir=os.environ.get("SPARK_GRAFT_BENCH_DIR") or None
+    )
+
+    # incompressible ~192 B payload (sha256 hex ×3) so history bytes are
+    # real data the rewrite cannot compress away
+    def _sha(col):
+        s = F.sha2(col.cast("string"), 256)
+        return F.concat(s, s, s)
+
+    def seed_feed(versions: int):
+        # every event changes attr ⇒ every event is a version boundary:
+        # |keys| open versions + |keys|·(versions-1) closed ones
+        n = keys_n * versions
+        return spark.range(n).select(
+            F.concat(F.lit("k"), F.pmod(F.col("id"), F.lit(keys_n)).cast("string"))
+            .alias("key"),
+            F.col("id").cast("long").alias("lsn"),
+            F.lit("I").alias("op"),
+            _sha(F.col("id")).alias("attr"),
+        )
+
+    def upd_delta(e: int, base_lsn: int):
+        return spark.range(upd_keys).select(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("key"),
+            (F.lit(base_lsn) + e * upd_keys + F.col("id")).cast("long").alias("lsn"),
+            F.lit("U").alias("op"),
+            _sha(F.col("id") + (e + 7) * 10_000_000).alias("attr"),
+        )
+
+    out: dict = {
+        "metric": "scd2_epoch_cost_vs_history_growth",
+        "keys": keys_n,
+        "small_versions": small_v,
+        "large_versions": large_v,
+        "update_keys_per_epoch": upd_keys,
+        "parallelism": parallelism,
+    }
+    try:
+        # untimed JVM/codegen warmup so the first timed arm isn't penalized
+        warm = LakeTable(spark, os.path.join(wh, "warm"))
+        historize_epoch(warm, seed_feed(1).limit(2000), ["key"], "lsn", ["attr"], 0)
+        historize_epoch(warm, upd_delta(0, 10**9).limit(2000), ["key"], "lsn", ["attr"], 1)
+        for arm in ("plain_laketable", "split_store"):
+            res: dict = {}
+            for size, versions in (("small", small_v), ("large", large_v)):
+                root = os.path.join(wh, f"{arm}_{size}")
+                hist = (
+                    LakeTable(spark, root)
+                    if arm == "plain_laketable"
+                    else Scd2HistoryStore(spark, root, ["key"])
+                )
+                historize_epoch(  # untimed bulk seed
+                    hist, seed_feed(versions), ["key"], "lsn", ["attr"], "seed"
+                )
+                base = keys_n * versions + 1
+                secs = []
+                for e in range(upd_epochs):
+                    t0 = time.time()
+                    historize_epoch(
+                        hist, upd_delta(e, base), ["key"], "lsn", ["attr"], e
+                    )
+                    secs.append(round(time.time() - t0, 3))
+                res[size] = {
+                    "epoch_secs": secs,
+                    "median_s": sorted(secs)[len(secs) // 2],
+                    "history_rows": hist.read().count(),
+                }
+                shutil.rmtree(root, ignore_errors=True)
+            res["large_over_small"] = round(
+                res["large"]["median_s"] / res["small"]["median_s"], 2
+            )
+            out[arm] = res
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return out
+
+
 def run_growth_sweep_mor(parallelism: int) -> dict:
     """Merge-on-read arm of the growth sweep: the same insert-growth +
     single-repo-update schedule as :func:`run_growth_sweep`, but the
@@ -627,6 +734,10 @@ def main() -> None:
             "mor": run_growth_sweep_mor(cpus),
         }
         print(json.dumps(out))
+        return
+
+    if "--scd2-growth" in sys.argv:
+        print(json.dumps(run_scd2_growth(cpus)))
         return
 
     if "--scaling" in sys.argv:

@@ -166,6 +166,108 @@ def scd2_apply_increment(
     return updated.unionByName(inserts)
 
 
+class Scd2HistoryStore:
+    """SCD2-shaped storage that keeps epoch cost FLAT as history grows
+    (r3 verdict #7): a closed version never changes once closed, so the
+    history splits into
+
+    - ``closed/``: an append-only LakeTable — every epoch APPENDS its
+      newly-closed versions, O(|delta|), no rewrite of prior history;
+    - ``open/``: a snapshot LakeTable holding exactly the current
+      version per live key — the only mutable state, MERGEd per epoch,
+      sized by the KEY COUNT (the target table's size), not by the
+      ever-growing version count.
+
+    A single LakeTable-backed history pays O(|history|) per epoch twice
+    (the ``is_current == 1`` scan AND the COW rewrite); here the epoch
+    reads ``open`` only (:meth:`open_versions`) and rewrites ``open``
+    only. At 10^10 events the version count grows without bound while
+    the key count tracks the table — this split is what makes SCD2
+    maintenance sustainable (measured: see BENCH_SCD2_GROWTH.json —
+    plain epoch cost grows with accumulated history, store stays flat).
+
+    Exactly-once: both sub-tables ride their own epoch ledgers; the
+    open-table merge is the commit point (``epoch_committed``), and the
+    closed append is ledger-skipped on redelivery, so a crash between
+    the two writes replays convergently (batches are deterministic).
+
+    Duck-type compatible with what :func:`historize_epoch` needs
+    (``epoch_committed / exists / read / merge``) plus the pruned
+    ``open_versions`` fast path it prefers when present.
+    """
+
+    def __init__(self, spark, root: str, keys: Sequence[str]):
+        import os
+
+        from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+        self.spark = spark
+        self.root = root
+        self.keys = list(keys)
+        self._closed = LakeTable(spark, os.path.join(root, "closed"), append_only=True)
+        self._open = LakeTable(spark, os.path.join(root, "open"))
+
+    def epoch_committed(self, epoch_id) -> bool:
+        return self._open.epoch_committed(epoch_id)
+
+    def exists(self) -> bool:
+        # open is written last and carries the commit ledger — a closed
+        # append without it is an uncommitted epoch that will replay
+        return self._open.exists()
+
+    def open_versions(self) -> DataFrame:
+        """The pruned epoch read: current versions only, never touching
+        the accumulated closed history."""
+        return self._open.read()
+
+    def read(self) -> DataFrame:
+        """The full logical history (closed ∪ open) — for consumers;
+        epochs never call this."""
+        if not self.exists():
+            raise FileNotFoundError(f"scd2 history {self.root} has no data")
+        opn = self._open.read()
+        if not self._closed.exists():
+            return opn
+        return self._closed.read().select(*opn.columns).unionByName(opn)
+
+    def merge(self, batch: DataFrame, on_keys: Sequence[str], epoch_id=None) -> dict:
+        """Split-apply a :func:`scd2_apply_increment` /
+        :func:`scd2_history` batch: closed rows append, open rows (or a
+        delete for keys whose last event was a tombstone) MERGE on the
+        natural key — each key holds at most one open version, so the
+        open batch is key-unique by construction."""
+        if epoch_id is not None and self.epoch_committed(epoch_id):
+            return {"skipped": True, "epoch": str(epoch_id)}
+        batch = batch.persist()
+        try:
+            closed_rows = batch.filter(F.col("is_current") == 0)
+            opens = batch.filter(F.col("is_current") == 1)
+            dels = (
+                batch.select(*self.keys)
+                .distinct()
+                .join(opens.select(*self.keys), on=self.keys, how="left_anti")
+                .withColumn("__del", F.lit(True))
+            )
+            open_batch = opens.withColumn("__del", F.lit(False)).unionByName(
+                dels, allowMissingColumns=True
+            )
+            # skip all-open epochs: an empty append would leave a
+            # part-file-less subdir (and the glob read schemaless when
+            # EVERY epoch is empty); redelivery stays safe because the
+            # batch is deterministic
+            if closed_rows.limit(1).count() > 0:
+                self._closed.append(closed_rows, epoch_id=epoch_id)
+            return self._open.merge(
+                open_batch,
+                self.keys,
+                epoch_id=epoch_id,
+                delete_condition=F.col("__del"),
+                drop_cols=["__del"],
+            )
+        finally:
+            batch.unpersist()
+
+
 def historize_epoch(
     history,
     delta: DataFrame,
@@ -189,14 +291,17 @@ def historize_epoch(
     """
     if history.epoch_committed(epoch_id):
         return {"skipped": True, "epoch": str(epoch_id)}
-    try:
-        existing = history.read()
-    except FileNotFoundError:
-        existing = None
-    if existing is None:
+    if not history.exists():
         batch = scd2_history(delta, keys, lsn_col, attr_cols, op_col)
     else:
-        open_v = existing.filter(F.col("is_current") == 1)
+        # Scd2HistoryStore serves the open set from its own snapshot —
+        # O(open), independent of accumulated history; a plain LakeTable
+        # history falls back to the filtered full scan
+        open_v = (
+            history.open_versions()
+            if hasattr(history, "open_versions")
+            else history.read().filter(F.col("is_current") == 1)
+        )
         batch = scd2_apply_increment(
             open_v, delta, keys, lsn_col, attr_cols, op_col
         )

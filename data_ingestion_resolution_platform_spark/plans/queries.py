@@ -3443,12 +3443,16 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3 LSN-ordered feed slices through ``historize_epoch``'s exactly-
     once MERGE, with one epoch redelivered to prove idempotency) must
     equal the one-shot historization of the whole feed — which is the
-    oracle (SQL_EVENTS_SCD2). Epoch cost is O(delta): only open
-    versions of delta keys are read back from the history."""
+    oracle (SQL_EVENTS_SCD2). Backed by Scd2HistoryStore: closed
+    versions append (immutable), only the open-versions snapshot is
+    read and rewritten per epoch — flat epoch cost as history grows
+    (BENCH_SCD2_GROWTH.json)."""
     import shutil
 
-    from data_ingestion_resolution_platform_spark.operators.scd import historize_epoch
-    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+    from data_ingestion_resolution_platform_spark.operators.scd import (
+        Scd2HistoryStore,
+        historize_epoch,
+    )
 
     feed = events_as_change_feed(spark, sf_dir)
     hi = feed.agg(F.max("lsn")).collect()[0][0]  # 1-row scalar
@@ -3456,7 +3460,7 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = f"/tmp/dirp_scd2_hist_{tag}"
     shutil.rmtree(root, ignore_errors=True)
-    hist = LakeTable(spark, root)
+    hist = Scd2HistoryStore(spark, root, ["user_id"])
     slices = [
         feed.filter(F.col("lsn") <= cuts[0]),
         feed.filter((F.col("lsn") > cuts[0]) & (F.col("lsn") <= cuts[1])),

@@ -115,11 +115,19 @@ class CDCPipeline:
             if self.maintain_stats
             else None
         )
-        self.history = (
-            LakeTable(self.spark, os.path.join(self.warehouse, "history"))
-            if self.maintain_history
-            else None
-        )
+        if self.maintain_history:
+            # closed-versions append + open-versions snapshot: epoch
+            # cost tracks the live key count, not accumulated history
+            # (operators/scd.Scd2HistoryStore)
+            from data_ingestion_resolution_platform_spark.operators.scd import (
+                Scd2HistoryStore,
+            )
+
+            self.history = Scd2HistoryStore(
+                self.spark, os.path.join(self.warehouse, "history"), list(self.keys)
+            )
+        else:
+            self.history = None
         self.checkpoint = os.path.join(self.warehouse, "_checkpoint")
 
     # -- batch core (shared by streaming + bounded replay) ---------------

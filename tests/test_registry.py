@@ -17,25 +17,31 @@ from data_ingestion_resolution_platform_spark.plans.queries import ORACLES, QUER
 
 GATE_WINDOW = 50
 
-# Queries with no driver row in r01/r02 + the two r02 hash-reds: all must be
-# inside the gate window this round (VERDICT.md round-2, directive #2).
+# Round-4 gate contract (VERDICT.md round-3, directive #2): the 37 entries
+# below the r3 window (whose hard signal dates from r02) rotate back in, led
+# by pipeline_scd2_history (never directly gated before), plus everything
+# changed or added in round 4.
 MUST_BE_GATED = {
-    "mor_merge_read", "table_changes", "cdf_replication", "ivm_incremental_agg",
-    "contacts_csv_ingest", "corpus_prep", "train_split", "shard_packing",
-    "stratified_sample", "pii_redaction", "dedup_embedding", "ann_ivf",
-    "ann_ivf_persisted", "lake_prune_scan", "bloom_prune_scan", "pagerank",
-    "spend_deciles", "repetition_stats", "cdc_schema_evolution", "bucketed_join",
-    "zorder_prune_scan", "skew_salted_join", "decontaminate", "events_cube",
-    "lineitem_unpivot", "multimodal_features", "media_decode", "bm25_search",
-    "vocab_topk",
-    # fixed hash-reds
-    "events_sessionize", "events_json_props",
-    # flagship CDC core stays gated every round
-    "cdc_apply_changes", "pipeline_cdc_e2e",
-    # new in round 3: first driver row this round
-    "events_scd2", "events_scd2_asof", "scd2_incremental",
-    "fuzzy_part_match", "topk_orders_per_cust", "cdc_bootstrap_handoff",
-    "kmeans_embeddings",
+    # never directly gated before round 4
+    "pipeline_scd2_history",
+    # the 36 other below-window r02-greens rotating back in
+    "stream_enrich", "pricing_summary", "shipping_priority", "dedup_minhash",
+    "latest_order_per_customer", "latest_order_salted", "local_supplier_volume",
+    "semi_join_customers", "anti_join_customers", "orders_above_cust_avg",
+    "topk_orders", "distinct_union", "pricing_rollup", "order_percentiles",
+    "orders_running_total", "events_value_bands", "events_type_pivot",
+    "customer_set_ops", "contacts_normalize", "contacts_issues", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_clusters", "text_quality", "lang_id",
+    "token_stats", "doc_fingerprints", "ann_topk", "dedup_embedding_exact",
+    "asof_purchase_click", "asof_cogroup", "events_tumbling", "events_gapfill",
+    "events_session_window", "dedup_incremental", "dedup_simhash",
+    # changed or new in round 4
+    "contacts_csv_ingest", "fuzzy_part_match", "kmeans_embeddings",
+    "ann_ivf_kmeans", "multimodal_features", "scd2_incremental",
+    "cdc_bootstrap_handoff",
+    # flagship core stays gated every round
+    "cdc_apply_changes", "pipeline_cdc_e2e", "pipeline_maintained_stats",
+    "events_scd2", "events_scd2_asof", "stream_tumbling",
 }
 
 
@@ -45,11 +51,11 @@ def test_never_gated_queries_inside_window():
     assert not missing, f"outside driver gate window: {sorted(missing)}"
 
 
-def test_every_query_has_oracle_or_is_rows_only():
-    # rows-only by design: Arrow pandas-UDF plumbing with no SQL twin
-    rows_only = {"multimodal_features"}
+def test_every_query_has_oracle():
+    # round 4: multimodal_features gained a closed-form oracle, so the
+    # registry is 100% hash-gated — no rows-only queries remain
     for name in QUERIES:
-        assert name in ORACLES or name in rows_only, name
+        assert name in ORACLES, name
 
 
 def test_oracle_names_unique_and_registered():

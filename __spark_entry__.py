@@ -2,9 +2,9 @@
 
 ``entry(spark)`` runs the flagship CDC apply-changes query at sf0.001;
 ``queries()`` / ``oracle_sql()`` expose the full registry from
-``data_ingestion_resolution_platform_spark.plans.queries`` (one entry
-per implemented operator family from SURVEY.md §2; oracle omitted for
-non-SQL-expressible sketch/UDF/streaming ops → rows-only check).
+``data_ingestion_resolution_platform_spark.plans.queries`` — since
+round 4 every registered query (88/88) has a DuckDB oracle twin; no
+rows-only entries remain.
 """
 
 from __future__ import annotations

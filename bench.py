@@ -565,6 +565,10 @@ HEADLINE = [
     "events_scd2",
     "fuzzy_part_match",
     "topk_orders_per_cust",
+    # round 4 additions
+    "kmeans_embeddings",
+    "ann_ivf_kmeans",
+    "scd2_incremental",
 ]
 
 

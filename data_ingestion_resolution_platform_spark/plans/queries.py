@@ -2292,6 +2292,99 @@ FROM s2 GROUP BY repo, lang
 """
 
 
+def _repo_dim(spark: SparkSession, version: int) -> DataFrame:
+    """Deterministic repos dimension (PK ``repo``) in two versions, all
+    arithmetic-derivable so the oracle can rebuild v2 in pure SQL.
+    v1 → v2 exercises every join-IVM path: inserts that backfill
+    existing files (n % 13 = 5 missing from v1), inserts with no files
+    (n = 40, 41), deletes that cascade (n % 11 = 3), and attribute
+    updates that rewrite every joined row (n % 7 = 0 → owner org_x)."""
+    n = spark.range(0, 42).select(F.col("id").cast("int").alias("n"))
+    base_owner = F.concat(F.lit("org_"), F.pmod(F.col("n"), F.lit(5)).cast("string"))
+    if version == 1:
+        n = n.filter((F.col("n") <= 39) & (F.pmod(F.col("n"), F.lit(13)) != 5))
+        owner = base_owner
+    else:
+        n = n.filter(F.pmod(F.col("n"), F.lit(11)) != 3)
+        owner = F.when(F.pmod(F.col("n"), F.lit(7)) == 0, F.lit("org_x")).otherwise(
+            base_owner
+        )
+    return n.select(
+        F.concat(F.lit("repo_"), F.col("n").cast("string")).alias("repo"),
+        owner.alias("owner"),
+        F.pmod(F.col("n"), F.lit(3)).cast("long").alias("tier"),
+    )
+
+
+def q_ivm_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view (the
+    reference's denormalized read models — `/root/reference/backend/
+    main.py` joins contacts→issues→resolutions on every list request —
+    kept continuously fresh instead of recomputed): seed
+    ``files ⋈ repos`` from both tables' v1 snapshots, then advance it
+    to the v2 state using ONLY the two invertible change feeds via the
+    signed delta algebra ΔV = ΔR⋈S₀ ∪ R₀⋈ΔS ∪ ΔR⋈ΔS
+    (``operators/ivm.py maintain_join`` — every term broadcasts the
+    per-epoch Δ side, so neither base table ever shuffles). Both sides
+    change in the SAME epoch: file churn from the code lake's CDF, plus
+    dim inserts that backfill, a delete that cascades to every joined
+    row, and owner updates that rewrite joined attributes. The oracle
+    recomputes the v2 join from scratch: maintained-by-delta must equal
+    recomputed, row for row."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.ivm import maintain_join
+    from data_ingestion_resolution_platform_spark.sources.lake import (
+        LakeTable,
+        snapshot_diff,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = _two_epoch_code_lake(spark, sf_dir, f"/tmp/dirp_ivmj_src_{tag}")
+    view_root = f"/tmp/dirp_ivmj_view_{tag}"
+    shutil.rmtree(view_root, ignore_errors=True)
+    r_cols = ["repo", "path", "lang", "commit"]
+    r1 = src.read(version=1).select(*r_cols)
+    s1, s2 = _repo_dim(spark, 1), _repo_dim(spark, 2)
+    view = LakeTable(spark, view_root)
+    view.merge(r1.join(s1, on="repo", how="inner"), ["repo", "path"], epoch_id="seed_v1")
+    r_changes = src.changelog(1, 2, ["repo", "path"], include_preimages=True).select(
+        "change_type", *r_cols
+    )
+    s_changes = snapshot_diff(s1, s2, ["repo"], include_preimages=True)
+    maintain_join(
+        view,
+        r_changes,
+        s_changes,
+        r_before=r1,
+        s_before=s1,
+        join_keys=["repo"],
+        out_keys=["repo", "path"],
+        epoch_id="ivmj_v2",
+    )
+    return view.read().select("repo", "path", "lang", "commit", "owner", "tier")
+
+
+SQL_IVM_JOIN = f"""
+WITH feed AS ({_DERIVED_FEED_SQL}),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM feed
+), files AS (
+  SELECT repo, path, lang, "commit" FROM w WHERE rn = 1 AND op <> 'D'
+), repos AS (
+  SELECT 'repo_' || CAST(n AS VARCHAR) AS repo,
+         CASE WHEN n % 7 = 0 THEN 'org_x'
+              ELSE 'org_' || CAST(n % 5 AS VARCHAR) END AS owner,
+         CAST(n % 3 AS BIGINT) AS tier
+  FROM (SELECT range AS n FROM range(0, 42))
+  WHERE n % 11 <> 3
+)
+SELECT f.repo, f.path, f.lang, f."commit", r.owner, r.tier
+FROM files f JOIN repos r USING (repo)
+"""
+
+
 _FIRST_EXPR = (
     "CASE WHEN c_custkey % 4 = 0 THEN '  ann   marie ' "
     "WHEN c_custkey % 9 = 0 THEN '   ' ELSE 'ann' END"
@@ -3604,7 +3697,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_running_total": q_orders_running_total,
     "events_value_bands": q_events_value_bands,
     "events_type_pivot": q_events_type_pivot,
-    "customer_set_ops": q_customer_set_ops,
+    "ivm_incremental_join": q_ivm_incremental_join,
     "contacts_normalize": q_contacts_normalize,
     "contacts_issues": q_contacts_issues,
     "dedup_exact": q_dedup_exact,
@@ -3641,6 +3734,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ======================= driver gate window ends =======================
     # Everything below has a GREEN driver row from CORRECTNESS_r03 and is
     # unchanged this round; rotates back into the window in round 5.
+    # (customer_set_ops was displaced below the line mid-round-4 to make
+    # room for the new ivm_incremental_join — it is r02+r03-green and
+    # unchanged, the lowest-risk rotation candidate.)
+    "customer_set_ops": q_customer_set_ops,
     "topk_orders_per_cust": q_topk_orders_per_cust,
     "cdc_apply_patches": q_cdc_apply_patches,
     "cdc_resolve_first": q_cdc_resolve_first,
@@ -3738,6 +3835,7 @@ ORACLES: dict[str, str] = {
     "table_changes": _table_changes_sql(),
     "cdf_replication": SQL_PIPELINE_E2E,
     "ivm_incremental_agg": SQL_IVM_AGG,
+    "ivm_incremental_join": SQL_IVM_JOIN,
     "contacts_csv_ingest": SQL_CONTACTS_CSV,
     "ann_ivf": _ivf_sql(),
     "ann_ivf_persisted": _ivf_sql(),

@@ -206,3 +206,186 @@ def test_pipeline_maintained_stats_tracks_target(spark, tmp_path):
     out = pipe.replay_bounded(feed, epochs=3)
     assert all(o.get("skipped") for o in out)
     assert stats_dict() == recompute()
+
+
+# ---------------------------------------------------------------------------
+# Join-view maintenance (delta_join / maintain_join)
+# ---------------------------------------------------------------------------
+
+DIM_SCHEMA = "repo string, owner string, tier long"
+
+DIM_V1 = [
+    ("r1", "alice", 0),
+    ("r2", "bob", 1),
+    ("r3", "carol", 2),   # no files join r3 in V1 (exercises dangling dim)
+]
+DIM_V2 = [
+    ("r1", "alice", 0),   # unchanged
+    ("r2", "bob2", 1),    # owner update -> cascades to every r2 file
+    ("r4", "dave", 0),    # insert (no files)
+]                          # r3 deleted
+
+
+def _dims(spark):
+    return (
+        spark.createDataFrame(DIM_V1, DIM_SCHEMA),
+        spark.createDataFrame(DIM_V2, DIM_SCHEMA),
+    )
+
+
+def _direct_join(files, dim):
+    return files.select("repo", "path", "lang").join(dim, on="repo", how="inner")
+
+
+def _join_dict(df):
+    return {(r.repo, r.path): (r.lang, r.owner, r.tier) for r in df.collect()}
+
+
+def _join_changes(spark, before, after, keys):
+    return snapshot_diff(before, after, keys, include_preimages=True)
+
+
+def test_maintain_join_equals_recompute(spark, tmp_path):
+    """Both sides change in the same epoch; maintained view equals the
+    recomputed join, including the ΔR ⋈ ΔS correction term."""
+    from data_ingestion_resolution_platform_spark.operators.ivm import maintain_join
+
+    r1, r2 = _snapshots(spark)
+    r1, r2 = r1.drop("content"), r2.drop("content")
+    s1, s2 = _dims(spark)
+    view = LakeTable(spark, str(tmp_path / "view"))
+    view.merge(_direct_join(r1, s1), ["repo", "path"], epoch_id="seed")
+    maintain_join(
+        view,
+        _join_changes(spark, r1, r2, ["repo", "path"]),
+        _join_changes(spark, s1, s2, ["repo"]),
+        r_before=r1,
+        s_before=s1,
+        join_keys=["repo"],
+        out_keys=["repo", "path"],
+        epoch_id="e2",
+    )
+    assert _join_dict(view.read()) == _join_dict(_direct_join(r2, s2))
+    # dim delete cascaded: r2/d.go row was ALSO deleted on the R side;
+    # r2's surviving file must carry the updated owner
+    got = _join_dict(view.read())
+    assert got[("r2", "e.rs")] == ("rs", "bob2", 1)
+    # exactly-once: redelivery is a ledger no-op
+    out = maintain_join(
+        view,
+        _join_changes(spark, r1, r2, ["repo", "path"]),
+        _join_changes(spark, s1, s2, ["repo"]),
+        r_before=r1,
+        s_before=s1,
+        join_keys=["repo"],
+        out_keys=["repo", "path"],
+        epoch_id="e2",
+    )
+    assert out.get("skipped") is True
+    assert _join_dict(view.read()) == _join_dict(_direct_join(r2, s2))
+
+
+def test_maintain_join_one_sided_epochs(spark, tmp_path):
+    """R-only epoch then S-only epoch (the common CDC case): each
+    empty-Δ side contributes nothing but the other side's terms."""
+    from data_ingestion_resolution_platform_spark.operators.ivm import maintain_join
+
+    r1, r2 = _snapshots(spark)
+    r1, r2 = r1.drop("content"), r2.drop("content")
+    s1, s2 = _dims(spark)
+    view = LakeTable(spark, str(tmp_path / "view1s"))
+    view.merge(_direct_join(r1, s1), ["repo", "path"], epoch_id="seed")
+    # epoch A: only R changes
+    maintain_join(
+        view,
+        _join_changes(spark, r1, r2, ["repo", "path"]),
+        _join_changes(spark, s1, s1, ["repo"]),
+        r_before=r1, s_before=s1,
+        join_keys=["repo"], out_keys=["repo", "path"], epoch_id="eA",
+    )
+    assert _join_dict(view.read()) == _join_dict(_direct_join(r2, s1))
+    # epoch B: only S changes (pre-state is now r2/s1)
+    maintain_join(
+        view,
+        _join_changes(spark, r2, r2, ["repo", "path"]),
+        _join_changes(spark, s1, s2, ["repo"]),
+        r_before=r2, s_before=s1,
+        join_keys=["repo"], out_keys=["repo", "path"], epoch_id="eB",
+    )
+    assert _join_dict(view.read()) == _join_dict(_direct_join(r2, s2))
+
+
+def test_maintain_join_multi_epoch_churn(spark, tmp_path):
+    """Property-style: random churn on BOTH tables for several epochs;
+    maintained view equals full recompute after every epoch."""
+    import random
+
+    from data_ingestion_resolution_platform_spark.operators.ivm import maintain_join
+
+    rnd = random.Random(11)
+    langs = ["py", "md", "go"]
+    files = {(f"r{i % 4}", f"f{i}.x"): langs[i % 3] for i in range(30)}
+    dims = {f"r{i}": (f"own{i}", i % 3) for i in range(4)}
+
+    def files_df(snap):
+        return spark.createDataFrame(
+            [(k[0], k[1], v) for k, v in sorted(snap.items())],
+            "repo string, path string, lang string",
+        )
+
+    def dims_df(snap):
+        return spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in sorted(snap.items())], DIM_SCHEMA
+        )
+
+    view = LakeTable(spark, str(tmp_path / "viewp"))
+    view.merge(_direct_join(files_df(files), dims_df(dims)), ["repo", "path"], epoch_id="seed")
+    for epoch in range(3):
+        nf, nd = dict(files), dict(dims)
+        for k in list(nf):
+            roll = rnd.random()
+            if roll < 0.15:
+                del nf[k]
+            elif roll < 0.45:
+                nf[k] = rnd.choice(langs)
+        for i in range(4):
+            nf[(f"r{rnd.randrange(6)}", f"new{epoch}_{i}.x")] = rnd.choice(langs)
+        for k in list(nd):
+            roll = rnd.random()
+            if roll < 0.2:
+                del nd[k]
+            elif roll < 0.5:
+                nd[k] = (nd[k][0] + "!", nd[k][1])
+        nd[f"r{rnd.randrange(6)}"] = (f"fresh{epoch}", epoch % 3)
+        maintain_join(
+            view,
+            _join_changes(spark, files_df(files), files_df(nf), ["repo", "path"]),
+            _join_changes(spark, dims_df(dims), dims_df(nd), ["repo"]),
+            r_before=files_df(files), s_before=dims_df(dims),
+            join_keys=["repo"], out_keys=["repo", "path"], epoch_id=f"e{epoch}",
+        )
+        assert _join_dict(view.read()) == _join_dict(
+            _direct_join(files_df(nf), dims_df(nd))
+        ), f"epoch {epoch}"
+        files, dims = nf, nd
+
+
+def test_delta_join_rejects_mismatched_columns(spark):
+    from data_ingestion_resolution_platform_spark.operators.ivm import delta_join
+    import pytest
+
+    r1, r2 = _snapshots(spark)
+    s1, s2 = _dims(spark)
+    ch_r = _join_changes(spark, r1, r2, ["repo", "path"])
+    ch_s = _join_changes(spark, s1, s2, ["repo"])
+    with pytest.raises(ValueError, match="r_changes columns"):
+        delta_join(ch_r, ch_s, r1.drop("content"), s1, ["repo"])
+    # overlapping non-join column on both sides
+    with pytest.raises(ValueError, match="shared by both sides"):
+        delta_join(
+            ch_r.withColumnRenamed("lang", "owner"),
+            ch_s,
+            r1.withColumnRenamed("lang", "owner"),
+            s1,
+            ["repo"],
+        )

@@ -569,6 +569,7 @@ HEADLINE = [
     "kmeans_embeddings",
     "ann_ivf_kmeans",
     "scd2_incremental",
+    "ivm_incremental_join",
 ]
 
 

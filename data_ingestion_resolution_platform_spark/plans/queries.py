@@ -2385,6 +2385,45 @@ FROM files f JOIN repos r USING (repo)
 """
 
 
+def q_pipeline_maintained_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-integrated join-view maintenance
+    (``CDCPipeline(maintain_view=True)``): the denormalized
+    ``target ⋈ repos-dim`` read model is advanced in lock-step with the
+    LWW target — feed epochs drive the R side from the batch's own
+    pre/post mini-CDF, and a mid-replay DIMENSION change epoch
+    (``apply_dim_changes``) backfills newly-inserted repos' existing
+    files, cascades a repo delete out of the view, and rewrites owner
+    attributes — all exactly-once on the view's own ledger, the target
+    never rescanned. Shares ``SQL_IVM_JOIN``'s oracle: the maintained
+    view must converge to exactly the full-feed LWW state joined with
+    the dim's final version, whichever path produced it."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.sources.lake import snapshot_diff
+    from data_ingestion_resolution_platform_spark.streaming.pipeline import CDCPipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wh = f"/tmp/dirp_pipeline_view_{tag}"
+    shutil.rmtree(wh, ignore_errors=True)
+    feed = _derived_code_feed(spark, sf_dir)
+    thr = feed.agg(F.max("lsn")).collect()[0][0] // 2
+    s1, s2 = _repo_dim(spark, 1), _repo_dim(spark, 2)
+    pipe = CDCPipeline(
+        spark,
+        feed_dir="unused",
+        warehouse=wh,
+        maintain_view=True,
+        view_attrs=("lang", "commit"),
+    )
+    pipe.seed_dim(s1)
+    pipe.replay_bounded(feed.filter(F.col("lsn") <= thr), epochs=1)
+    pipe.apply_dim_changes(
+        snapshot_diff(s1, s2, ["repo"], include_preimages=True), "v2"
+    )
+    pipe.replay_bounded(feed.filter(F.col("lsn") > thr), epochs=1, epoch_offset=1)
+    return pipe.view.read().select("repo", "path", "lang", "commit", "owner", "tier")
+
+
 _FIRST_EXPR = (
     "CASE WHEN c_custkey % 4 = 0 THEN '  ann   marie ' "
     "WHEN c_custkey % 9 = 0 THEN '   ' ELSE 'ann' END"
@@ -3701,7 +3740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contacts_normalize": q_contacts_normalize,
     "contacts_issues": q_contacts_issues,
     "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "pipeline_maintained_view": q_pipeline_maintained_view,
     "dedup_clusters": q_dedup_clusters,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -3734,10 +3773,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ======================= driver gate window ends =======================
     # Everything below has a GREEN driver row from CORRECTNESS_r03 and is
     # unchanged this round; rotates back into the window in round 5.
-    # (customer_set_ops was displaced below the line mid-round-4 to make
-    # room for the new ivm_incremental_join — it is r02+r03-green and
-    # unchanged, the lowest-risk rotation candidate.)
+    # (customer_set_ops / dedup_ngram_jaccard were displaced below the
+    # line mid-round-4 to make room for the new ivm_incremental_join /
+    # pipeline_maintained_view — both are r02-green, unchanged, and
+    # family-redundant (set ops via distinct_union; n-gram dedup via the
+    # 5 sibling dedup queries), the lowest-risk rotation candidates.)
     "customer_set_ops": q_customer_set_ops,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "topk_orders_per_cust": q_topk_orders_per_cust,
     "cdc_apply_patches": q_cdc_apply_patches,
     "cdc_resolve_first": q_cdc_resolve_first,
@@ -3836,6 +3878,7 @@ ORACLES: dict[str, str] = {
     "cdf_replication": SQL_PIPELINE_E2E,
     "ivm_incremental_agg": SQL_IVM_AGG,
     "ivm_incremental_join": SQL_IVM_JOIN,
+    "pipeline_maintained_view": SQL_IVM_JOIN,
     "contacts_csv_ingest": SQL_CONTACTS_CSV,
     "ann_ivf": _ivf_sql(),
     "ann_ivf_persisted": _ivf_sql(),

@@ -77,6 +77,17 @@ class CDCPipeline:
     # MERGE — the warehouse-facing audit twin of the LWW target.
     maintain_history: bool = False
     history_attrs: tuple[str, ...] = ("commit", "lang", "content")
+    # opt-in incrementally-maintained denormalized JOIN view
+    # (operators/ivm.py maintain_join): ``target ⋈ dim`` kept in
+    # lock-step with the target WITHOUT recomputing the join — the
+    # reference's read models (contacts→issues→resolutions joined per
+    # list request) as a continuously-fresh table. Feed epochs advance
+    # the R side (same synthesized pre/post mini-CDF as the stats);
+    # dim changes arrive via :meth:`apply_dim_changes`. The dim must be
+    # seeded once via :meth:`seed_dim` before the first epoch.
+    maintain_view: bool = False
+    view_join_key: str = "repo"
+    view_attrs: tuple[str, ...] = ("lang", "commit")
 
     def __post_init__(self) -> None:
         if self.target_mode == "cow":
@@ -128,6 +139,12 @@ class CDCPipeline:
             )
         else:
             self.history = None
+        if self.maintain_view:
+            self.view = LakeTable(self.spark, os.path.join(self.warehouse, "view"))
+            self.dim = LakeTable(self.spark, os.path.join(self.warehouse, "dim"))
+        else:
+            self.view = None
+            self.dim = None
         self.checkpoint = os.path.join(self.warehouse, "_checkpoint")
 
     # -- batch core (shared by streaming + bounded replay) ---------------
@@ -192,6 +209,10 @@ class CDCPipeline:
             # committed-epoch early return.
             if self.stats is not None:
                 self._maintain_stats(resolved.winners, epoch)
+            if self.view is not None:
+                # same pre-merge / own-ledger / convergent-retry
+                # contract as the stats (comment above)
+                self._maintain_view(resolved.winners, epoch)
             if self.history is not None:
                 # SCD2 history from the RAW batch (every event is a
                 # potential version boundary, not just winners) —
@@ -288,6 +309,112 @@ class CDCPipeline:
             count_alias="n_paths",
         )
 
+    def seed_dim(self, dim: DataFrame, epoch_id: str = "dim_seed") -> dict:
+        """Install the initial dimension snapshot (PK
+        ``view_join_key``). Must run before the first maintained-view
+        epoch; its own ledger makes re-seeding a no-op."""
+        if self.dim is None:
+            raise ValueError("seed_dim requires maintain_view=True")
+        return self.dim.merge(dim, [self.view_join_key], epoch_id=epoch_id)
+
+    def _maintain_view(self, winners: DataFrame, epoch: int) -> None:
+        """Advance the maintained ``target ⋈ dim`` view by this feed
+        epoch's R-side delta (ΔS is empty here; dim changes arrive via
+        :meth:`apply_dim_changes`).
+
+        Same invertible mini-CDF as ``_maintain_stats``: pre-images are
+        the current target rows for the batch keys (ONE broadcast
+        semi-join, never a target shuffle or rescan), post-images are
+        the surviving winners. ``maintain_join`` broadcasts the delta
+        against the dim, so epoch cost is O(|batch|)."""
+        from data_ingestion_resolution_platform_spark.operators.ivm import maintain_join
+
+        if not self.dim.exists():
+            raise ValueError(
+                "maintain_view=True but the dim table is unseeded — call seed_dim() first"
+            )
+        key_list = list(self.keys)
+        cols = [*key_list, *self.view_attrs]
+        post = winners.filter(F.col("op") != "D").select(
+            *cols, F.lit("update_postimage").alias("change_type")
+        )
+        if self.target.exists():
+            pre = (
+                self.target.read()
+                .join(F.broadcast(winners.select(*key_list)), on=key_list, how="left_semi")
+                .select(*cols, F.lit("update_preimage").alias("change_type"))
+            )
+            r_changes = pre.unionByName(post)
+            r_before = self.target.read().select(*cols)
+        else:
+            r_changes = post
+            r_before = post.drop("change_type").limit(0)
+        s_before = self.dim.read()
+        s_changes = s_before.limit(0).withColumn("change_type", F.lit("insert"))
+        maintain_join(
+            self.view,
+            r_changes,
+            s_changes,
+            r_before=r_before,
+            s_before=s_before,
+            join_keys=[self.view_join_key],
+            out_keys=key_list,
+            epoch_id=f"v{epoch}",
+        )
+
+    def apply_dim_changes(self, s_changes: DataFrame, epoch_id: str | int) -> dict:
+        """Advance the maintained view by a DIMENSION change epoch (an
+        invertible :func:`sources.lake.snapshot_diff` feed over the dim:
+        inserts backfill existing target rows into the view, deletes
+        cascade every joined row out, attribute updates rewrite them),
+        then upsert the changes into the stored dim.
+
+        Order matters for crash-retry convergence: the view MERGE (its
+        own ledger) commits first; if the subsequent dim MERGE fails,
+        redelivery skips the view epoch and re-applies only the dim.
+        The R₀ ⋈ ΔS term broadcasts ΔS against a target scan — with
+        the target hash-bucketed on ``view_join_key``'s leading column
+        the broadcast doubles as a runtime filter, so touched buckets
+        only."""
+        if self.view is None:
+            raise ValueError("apply_dim_changes requires maintain_view=True")
+        from data_ingestion_resolution_platform_spark.operators.ivm import maintain_join
+        from data_ingestion_resolution_platform_spark.sources.lake import apply_changelog
+
+        key_list = list(self.keys)
+        cols = [*key_list, *self.view_attrs]
+        if self.target.exists():
+            r_before = self.target.read().select(*cols)
+        else:
+            r_before = (
+                self.spark.createDataFrame([], self.view.read().select(*cols).schema)
+                if self.view.exists()
+                else None
+            )
+            if r_before is None:
+                raise ValueError("apply_dim_changes before any target state exists")
+        r_changes = r_before.limit(0).withColumn("change_type", F.lit("insert"))
+        out = maintain_join(
+            self.view,
+            r_changes,
+            s_changes,
+            r_before=r_before,
+            s_before=self.dim.read(),
+            join_keys=[self.view_join_key],
+            out_keys=key_list,
+            epoch_id=f"d{epoch_id}",
+        )
+        # the view delta needs the invertible (preimage-bearing) feed,
+        # but the stored dim upsert must be key-unique — preimage rows
+        # would land as duplicate keys in the MERGE batch
+        apply_changelog(
+            self.dim,
+            s_changes.filter(F.col("change_type") != "update_preimage"),
+            [self.view_join_key],
+            epoch_id=f"dim_{epoch_id}",
+        )
+        return out
+
     def bootstrap(self, snapshot: DataFrame, watermark_lsn: int, epoch_id: str = "bootstrap") -> dict:
         """Snapshot → streaming handoff (the Debezium initial-load
         pattern; extends M4/M5 to a non-empty starting state).
@@ -354,6 +481,18 @@ class CDCPipeline:
                 list(self.history_attrs),
                 f"h_{epoch_id}",
             )
+        if self.view is not None:
+            # same argument as the stats seed: a snapshot-seeded target
+            # with an empty view would make the next epoch's pre-images
+            # subtract rows the view never held
+            if not self.dim.exists():
+                raise ValueError(
+                    "bootstrap with maintain_view=True requires seed_dim() first"
+                )
+            seed_view = snapshot.select(*self.keys, *self.view_attrs).join(
+                self.dim.read(), on=self.view_join_key, how="inner"
+            )
+            self.view.merge(seed_view, list(self.keys), epoch_id=f"v_{epoch_id}")
         return self.target.merge(batch, list(self.keys), epoch_id=epoch_id)
 
     # -- streaming entry --------------------------------------------------

@@ -196,12 +196,28 @@ def delta_join(
     s_before: DataFrame,
     join_keys: Sequence[str],
     change_col: str = "change_type",
+    how: str = "inner",
 ) -> DataFrame:
     """Signed delta of a materialized equi-join view ``V = R ⋈ S``
     (classic join delta-propagation, same algebra family as
     :func:`delta_aggregate`):
 
         ΔV = ΔR ⋈ S₀  ∪  R₀ ⋈ ΔS  ∪  ΔR ⋈ ΔS
+
+    ``how="left"`` additionally maintains the null-extended anti part
+    of a LEFT OUTER view. With S keyed BY the join key (required — per
+    R row the match count μ is then 0 or 1), the anti part is
+    ``A = R · (1 - μ(S))`` and its delta expands to three more signed
+    terms, all Δ-broadcast joins:
+
+        ΔA = ΔR ▷ S₀  (anti-join, ΔR's own sign)
+           ∪ R₀ ⋈ Δμ  (sign -Δμ: a dim insert retracts the null row,
+                        a dim delete re-creates it)
+           ∪ ΔR ⋈ Δμ  (sign -(sign_R·Δμ) — the both-changed correction)
+
+    where Δμ is ``s_changes`` restricted to insert/delete (attribute
+    updates never change matching). S-side attributes on anti rows are
+    typed NULLs.
 
     where S₀/R₀ are the PRE-epoch snapshots, every change-feed row
     carries a ±1 sign (see ``_SIGN``; the feed must be invertible,
@@ -265,11 +281,52 @@ def delta_join(
 
     # ΔR ⋈ S₀ (broadcast ΔR; S₀ never shuffles), R₀ ⋈ ΔS (broadcast
     # ΔS; R₀ never shuffles), ΔR ⋈ ΔS (both epoch-small).
-    return (
+    inner = (
         term(dr, s0, "left")
         .unionByName(term(r0, ds, "right"))
         .unionByName(term(dr, ds, "right"))
     )
+    if how == "inner":
+        return inner
+    if how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    # LEFT OUTER: add the anti part's delta. Typed NULLs for the S
+    # attributes on every anti row.
+    s_attr_fields = [f for f in s_before.schema.fields if f.name not in jk]
+    null_s = [F.lit(None).cast(f.dataType).alias(f.name) for f in s_attr_fields]
+
+    def null_extend(df: DataFrame) -> DataFrame:
+        return df.select(*[c for c in df.columns if c != "_sign"], *null_s, "_sign")
+
+    # Δμ: presence deltas of the S side (insert +1 / delete -1 on the
+    # join key; updates keep μ constant and are excluded)
+    dmu = s_changes.filter(
+        F.col(change_col).isin("insert", "delete")
+    ).select(
+        *jk,
+        F.when(F.col(change_col) == "insert", F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("_sign"),
+    )
+    # ΔR ▷ S₀ without shuffling S₀: an anti join can only broadcast its
+    # non-preserved (right) side, so first semi-filter S₀'s keys down to
+    # ΔR's (broadcast ΔR keys), then anti-join ΔR against that now-small
+    # set (broadcast it) — same two-step trick as maintain_aggregate.
+    s0_touched = s_before.select(*jk).join(
+        F.broadcast(dr.select(*jk).distinct()), on=jk, how="left_semi"
+    )
+    a1 = null_extend(dr.join(F.broadcast(s0_touched), on=jk, how="left_anti"))
+    a2 = null_extend(
+        r_before.join(F.broadcast(dmu), on=jk, how="inner")
+        .withColumn("_sign", (-F.col("_sign")).cast("int"))
+    )
+    a3 = null_extend(
+        dr.withColumnRenamed("_sign", "_sl")
+        .join(F.broadcast(dmu.withColumnRenamed("_sign", "_sr")), on=jk, how="inner")
+        .withColumn("_sign", (-(F.col("_sl") * F.col("_sr"))).cast("int"))
+        .drop("_sl", "_sr")
+    )
+    return inner.unionByName(a1).unionByName(a2).unionByName(a3)
 
 
 def maintain_join(
@@ -282,6 +339,7 @@ def maintain_join(
     out_keys: Sequence[str],
     epoch_id: str | int | None = None,
     change_col: str = "change_type",
+    how: str = "inner",
 ) -> dict:
     """Maintain a persisted equi-join view ``LakeTable`` from one
     change-feed epoch on EITHER (or both) input tables, exactly-once —
@@ -298,11 +356,18 @@ def maintain_join(
     upsert, only-negative ⇒ delete, net-zero churn ⇒ untouched. Rides
     the view table's epoch ledger so at-least-once redelivery cannot
     double-apply a delta.
+
+    ``how="left"`` maintains a LEFT OUTER view: unmatched R rows live
+    in the view with NULL S attributes, and dim inserts/deletes flip
+    rows between matched and null-extended in place (see
+    :func:`delta_join`; requires S keyed by the join key).
     """
     if epoch_id is not None and view.epoch_committed(epoch_id):
         return {"skipped": True, "epoch": str(epoch_id)}
     key_list = list(out_keys)
-    dv = delta_join(r_changes, s_changes, r_before, s_before, join_keys, change_col)
+    dv = delta_join(
+        r_changes, s_changes, r_before, s_before, join_keys, change_col, how=how
+    )
     attrs = [c for c in dv.columns if c not in set(key_list) | {"_sign"}]
     # collapse identical attribute images first (cancels same-epoch
     # churn), then pick the surviving image per key: max_by over the

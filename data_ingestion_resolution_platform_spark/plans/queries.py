@@ -2385,6 +2385,68 @@ FROM files f JOIN repos r USING (repo)
 """
 
 
+def q_ivm_incremental_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER variant of ``ivm_incremental_join``: files whose repo
+    has no dimension row stay in the view as null-extended rows (dim v2
+    deletes n % 11 = 3, whose files all have content — real null rows
+    at the final state), and dim inserts/deletes flip rows between
+    matched and null-extended IN PLACE via the anti-part delta terms
+    (``operators/ivm.py delta_join(how="left")``: ΔR▷S₀, R₀⋈Δμ, ΔR⋈Δμ —
+    every term still broadcasts only the per-epoch Δ). Oracle is the
+    from-scratch LEFT JOIN recompute."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.ivm import maintain_join
+    from data_ingestion_resolution_platform_spark.sources.lake import (
+        LakeTable,
+        snapshot_diff,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = _two_epoch_code_lake(spark, sf_dir, f"/tmp/dirp_ivmjo_src_{tag}")
+    view_root = f"/tmp/dirp_ivmjo_view_{tag}"
+    shutil.rmtree(view_root, ignore_errors=True)
+    r_cols = ["repo", "path", "lang", "commit"]
+    r1 = src.read(version=1).select(*r_cols)
+    s1, s2 = _repo_dim(spark, 1), _repo_dim(spark, 2)
+    view = LakeTable(spark, view_root)
+    view.merge(r1.join(s1, on="repo", how="left"), ["repo", "path"], epoch_id="seed_v1")
+    maintain_join(
+        view,
+        src.changelog(1, 2, ["repo", "path"], include_preimages=True).select(
+            "change_type", *r_cols
+        ),
+        snapshot_diff(s1, s2, ["repo"], include_preimages=True),
+        r_before=r1,
+        s_before=s1,
+        join_keys=["repo"],
+        out_keys=["repo", "path"],
+        epoch_id="ivmjo_v2",
+        how="left",
+    )
+    return view.read().select("repo", "path", "lang", "commit", "owner", "tier")
+
+
+SQL_IVM_JOIN_OUTER = f"""
+WITH feed AS ({_DERIVED_FEED_SQL}),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM feed
+), files AS (
+  SELECT repo, path, lang, "commit" FROM w WHERE rn = 1 AND op <> 'D'
+), repos AS (
+  SELECT 'repo_' || CAST(n AS VARCHAR) AS repo,
+         CASE WHEN n % 7 = 0 THEN 'org_x'
+              ELSE 'org_' || CAST(n % 5 AS VARCHAR) END AS owner,
+         CAST(n % 3 AS BIGINT) AS tier
+  FROM (SELECT range AS n FROM range(0, 42))
+  WHERE n % 11 <> 3
+)
+SELECT f.repo, f.path, f.lang, f."commit", r.owner, r.tier
+FROM files f LEFT JOIN repos r USING (repo)
+"""
+
+
 def q_pipeline_maintained_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline-integrated join-view maintenance
     (``CDCPipeline(maintain_view=True)``): the denormalized
@@ -3724,7 +3786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "dedup_minhash": q_dedup_minhash,
     "latest_order_per_customer": q_latest_order_per_customer,
-    "latest_order_salted": q_latest_order_salted,
+    "ivm_incremental_join_outer": q_ivm_incremental_join_outer,
     "local_supplier_volume": q_local_supplier_volume,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
@@ -3773,13 +3835,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ======================= driver gate window ends =======================
     # Everything below has a GREEN driver row from CORRECTNESS_r03 and is
     # unchanged this round; rotates back into the window in round 5.
-    # (customer_set_ops / dedup_ngram_jaccard were displaced below the
-    # line mid-round-4 to make room for the new ivm_incremental_join /
-    # pipeline_maintained_view — both are r02-green, unchanged, and
-    # family-redundant (set ops via distinct_union; n-gram dedup via the
-    # 5 sibling dedup queries), the lowest-risk rotation candidates.)
+    # (customer_set_ops / dedup_ngram_jaccard / latest_order_salted were
+    # displaced below the line mid-round-4 to make room for the new
+    # ivm_incremental_join / pipeline_maintained_view /
+    # ivm_incremental_join_outer — all three are r02-green, unchanged,
+    # and family-redundant (set ops via distinct_union; n-gram dedup via
+    # the 5 sibling dedup queries; salted LWW shares its oracle with the
+    # in-window latest_order_per_customer), the lowest-risk rotation
+    # candidates. They rotate back in round 5.)
     "customer_set_ops": q_customer_set_ops,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "latest_order_salted": q_latest_order_salted,
     "topk_orders_per_cust": q_topk_orders_per_cust,
     "cdc_apply_patches": q_cdc_apply_patches,
     "cdc_resolve_first": q_cdc_resolve_first,
@@ -3879,6 +3945,7 @@ ORACLES: dict[str, str] = {
     "ivm_incremental_agg": SQL_IVM_AGG,
     "ivm_incremental_join": SQL_IVM_JOIN,
     "pipeline_maintained_view": SQL_IVM_JOIN,
+    "ivm_incremental_join_outer": SQL_IVM_JOIN_OUTER,
     "contacts_csv_ingest": SQL_CONTACTS_CSV,
     "ann_ivf": _ivf_sql(),
     "ann_ivf_persisted": _ivf_sql(),

@@ -389,3 +389,114 @@ def test_delta_join_rejects_mismatched_columns(spark):
             s1,
             ["repo"],
         )
+
+
+def _direct_left_join(files, dim):
+    return files.select("repo", "path", "lang").join(dim, on="repo", how="left")
+
+
+def test_maintain_left_join_equals_recompute(spark, tmp_path):
+    """LEFT OUTER view: unmatched files carry NULL dim attrs; dim
+    inserts/deletes flip rows between matched and null-extended."""
+    from data_ingestion_resolution_platform_spark.operators.ivm import maintain_join
+
+    r1, r2 = _snapshots(spark)
+    r1, r2 = r1.drop("content"), r2.drop("content")
+    s1, s2 = _dims(spark)
+    view = LakeTable(spark, str(tmp_path / "lview"))
+    view.merge(_direct_left_join(r1, s1), ["repo", "path"], epoch_id="seed")
+    maintain_join(
+        view,
+        _join_changes(spark, r1, r2, ["repo", "path"]),
+        _join_changes(spark, s1, s2, ["repo"]),
+        r_before=r1, s_before=s1,
+        join_keys=["repo"], out_keys=["repo", "path"],
+        epoch_id="e2", how="left",
+    )
+    assert _join_dict(view.read()) == _join_dict(_direct_left_join(r2, s2))
+    # follow-up dim-only epoch deletes r2: its file e.rs must flip to a
+    # null-extended row in place (vs vanishing under how="inner")
+    s3 = s2.filter(F.col("repo") != "r2")
+    maintain_join(
+        view,
+        _join_changes(spark, r2, r2, ["repo", "path"]),
+        _join_changes(spark, s2, s3, ["repo"]),
+        r_before=r2, s_before=s2,
+        join_keys=["repo"], out_keys=["repo", "path"],
+        epoch_id="e3", how="left",
+    )
+    assert _join_dict(view.read()) == _join_dict(_direct_left_join(r2, s3))
+    assert _join_dict(view.read())[("r2", "e.rs")] == ("rs", None, None)
+
+
+def test_maintain_left_join_multi_epoch_churn(spark, tmp_path):
+    """Property-style churn on both tables, LEFT OUTER semantics; the
+    maintained view equals a full left-join recompute every epoch —
+    including matched→unmatched→matched flips of the same key."""
+    import random
+
+    from data_ingestion_resolution_platform_spark.operators.ivm import maintain_join
+
+    rnd = random.Random(23)
+    langs = ["py", "md", "go"]
+    files = {(f"r{i % 5}", f"f{i}.x"): langs[i % 3] for i in range(25)}
+    dims = {f"r{i}": (f"own{i}", i % 3) for i in range(3)}  # r3, r4 unmatched
+
+    def files_df(snap):
+        return spark.createDataFrame(
+            [(k[0], k[1], v) for k, v in sorted(snap.items())],
+            "repo string, path string, lang string",
+        )
+
+    def dims_df(snap):
+        return spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in sorted(snap.items())], DIM_SCHEMA
+        )
+
+    view = LakeTable(spark, str(tmp_path / "lviewp"))
+    view.merge(
+        _direct_left_join(files_df(files), dims_df(dims)), ["repo", "path"], epoch_id="seed"
+    )
+    for epoch in range(3):
+        nf, nd = dict(files), dict(dims)
+        for k in list(nf):
+            roll = rnd.random()
+            if roll < 0.15:
+                del nf[k]
+            elif roll < 0.45:
+                nf[k] = rnd.choice(langs)
+        for i in range(4):
+            nf[(f"r{rnd.randrange(7)}", f"new{epoch}_{i}.x")] = rnd.choice(langs)
+        for k in list(nd):
+            roll = rnd.random()
+            if roll < 0.25:
+                del nd[k]  # matched -> null-extended flip
+            elif roll < 0.55:
+                nd[k] = (nd[k][0] + "!", nd[k][1])
+        nd[f"r{rnd.randrange(7)}"] = (f"fresh{epoch}", epoch % 3)  # flip back
+        maintain_join(
+            view,
+            _join_changes(spark, files_df(files), files_df(nf), ["repo", "path"]),
+            _join_changes(spark, dims_df(dims), dims_df(nd), ["repo"]),
+            r_before=files_df(files), s_before=dims_df(dims),
+            join_keys=["repo"], out_keys=["repo", "path"],
+            epoch_id=f"e{epoch}", how="left",
+        )
+        assert _join_dict(view.read()) == _join_dict(
+            _direct_left_join(files_df(nf), dims_df(nd))
+        ), f"epoch {epoch}"
+        files, dims = nf, nd
+
+
+def test_delta_join_rejects_bad_how(spark):
+    from data_ingestion_resolution_platform_spark.operators.ivm import delta_join
+    import pytest
+
+    r1, r2 = _snapshots(spark)
+    s1, s2 = _dims(spark)
+    with pytest.raises(ValueError, match="how must be"):
+        delta_join(
+            _join_changes(spark, r1, r2, ["repo", "path"]),
+            _join_changes(spark, s1, s2, ["repo"]),
+            r1, s1, ["repo"], how="full",
+        )

@@ -7,16 +7,23 @@ Per iteration:
 - **assign** is map-only — the corpus is NEVER shuffled. Two backends
   with bit-identical results:
 
-  * ``expr`` (default for k·dim ≤ 4096): the k centroids fold into the
-    plan as literal arrays, nearest centroid via ``least(dist_j·k + j)``
-    in whole-stage codegen. Expression size is O(k·dim) literals inside
-    one ``least`` — past ~4096 it blows codegen's method-size limit and
-    Spark falls back to interpreted mode, so
-  * ``pandas`` (default above 4096): the codebook broadcasts as a numpy
+  * ``expr`` (default only for tiny codebooks, k·dim ≤ 256): the k
+    centroids fold into the plan as literal arrays, nearest centroid
+    via ``least(dist_j·k + j)`` in whole-stage codegen. Expression size
+    is O(k·dim) literals inside one ``least`` — compile time grows with
+    it (measured: ~2-3 s per Lloyd round at k·dim = 1024, re-paid every
+    iteration because each round folds fresh literals), and past ~4096
+    it blows codegen's method-size limit outright.
+  * ``pandas`` (default above 256): the codebook broadcasts as a numpy
     int64 matrix inside an Arrow ``mapInPandas`` closure; distances are
     one vectorized ``V @ Cᵀ`` per batch. Still map-only, still exact
     integer arithmetic, and the k·dim product is bounded only by
     executor memory for the codebook (k=4096 × dim=768 ≈ 25 MB).
+    Measured 3.5-4x faster end-to-end than ``expr`` at k=16 × dim=64
+    from 2k through 200k rows: batched BLAS dot products beat scalar
+    codegen arithmetic AND skip the per-round compile, so the
+    crossover never arrives as rows grow — dense linear algebra is the
+    case where Arrow-vectorized Python is the FAST path.
 
 - **update** is ONE hash aggregation: per-dimension component sums +
   counts per cluster, map-side combined, shuffling k × (dim+1) longs
@@ -45,6 +52,12 @@ from data_ingestion_resolution_platform_spark.functions.vectors import quantize_
 # literal longs — ~4096 total literals is where generated-method size
 # starts tripping the 64KB JVM limit and whole-stage codegen bails
 CODEGEN_KDIM_LIMIT = 4096
+
+# wall-clock crossover for the AUTO choice: above this the vectorized
+# numpy backend wins at every measured row count (compile cost per
+# Lloyd round + scalar arithmetic vs batched BLAS), so `auto` only
+# keeps the expression backend for genuinely tiny codebooks
+EXPR_AUTO_LIMIT = 256
 
 _ENC_SCHEMA = "__vid long, __qv array<long>, __enc long"
 
@@ -120,7 +133,7 @@ def _with_enc_pandas(q: DataFrame, cents: dict[int, list[int]], k: int) -> DataF
 def _pick_assign(cents: dict[int, list[int]], k: int, mode: str):
     if mode == "auto":
         dim = len(next(iter(cents.values())))
-        mode = "pandas" if k * dim > CODEGEN_KDIM_LIMIT else "expr"
+        mode = "pandas" if k * dim > EXPR_AUTO_LIMIT else "expr"
     if mode == "expr":
         return _with_enc_expr
     if mode == "pandas":

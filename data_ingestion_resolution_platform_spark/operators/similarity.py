@@ -195,14 +195,21 @@ def ivf_kmeans_index(
     n_probe (measured 0.60 vs 0.45 recall@10, 16 cells / 4 probes,
     sf0.01). Same artifact shape as :func:`ivf_index` — write it
     ``partitionBy("cell")`` for partition-pruned probes at scale."""
-    from data_ingestion_resolution_platform_spark.operators.kmeans import _enc_expr
+    from data_ingestion_resolution_platform_spark.operators.kmeans import _pick_assign
 
     q = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        quantize_vector(F.col(vec_col)).alias("cq"),
+        F.col(id_col).alias("__vid"),
+        quantize_vector(F.col(vec_col)).alias("__qv"),
     )
-    enc = _enc_expr(cents, n_cells, col="cq")
-    return q.withColumn("cell", F.pmod(enc, F.lit(n_cells)).cast("int"))
+    # same auto backend rule as kmeans assignment: vectorized numpy
+    # above the tiny-codebook bound (codegen compile of k·dim literal
+    # expressions never pays for itself — measured in kmeans.py)
+    enc = _pick_assign(cents, n_cells, "auto")(q, cents, n_cells)
+    return enc.select(
+        F.col("__vid").alias("neighbor_id"),
+        F.col("__qv").alias("cq"),
+        F.pmod(F.col("__enc"), F.lit(n_cells)).cast("int").alias("cell"),
+    )
 
 
 def kmeans_probe_cells(
@@ -215,18 +222,58 @@ def kmeans_probe_cells(
 ) -> DataFrame:
     """Per query: the ``n_probe`` nearest codebook cells by exact
     quantized distance (ties to the smaller cell id via the dist·k + j
-    encoding) ⇒ exploded (query_id, qq, cell) probe frame."""
-    from data_ingestion_resolution_platform_spark.operators.kmeans import enc_terms
+    encoding) ⇒ exploded (query_id, qq, cell) probe frame. Backend
+    follows the kmeans auto rule: literal expressions only for tiny
+    codebooks, vectorized numpy above (identical integer encoding)."""
+    from data_ingestion_resolution_platform_spark.operators.kmeans import (
+        EXPR_AUTO_LIMIT,
+        enc_terms,
+    )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         quantize_vector(F.col(vec_col)).alias("qq"),
     )
+    dim = len(next(iter(cents.values())))
+    if n_cells * dim > EXPR_AUTO_LIMIT:
+        return _probe_cells_pandas(q, cents, n_cells, n_probe)
     arr = F.array_sort(F.array(*enc_terms(cents, n_cells, col="qq")))
     cells = F.transform(
         F.slice(arr, 1, n_probe), lambda x: F.pmod(x, F.lit(n_cells)).cast("int")
     )
     return q.select("query_id", "qq", F.explode(cells).alias("cell"))
+
+
+def _probe_cells_pandas(q: DataFrame, cents: dict[int, list[int]], k: int, n_probe: int) -> DataFrame:
+    """Arrow variant of the probe-cell ranking: one matmul per record
+    batch against the closure-broadcast codebook, rows exploded to the
+    ``n_probe`` smallest enc = dist·k + j (numpy ``%`` matches pmod —
+    sign of the divisor — so the emitted cells are bit-identical to the
+    expression path's)."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ids = sorted(cents)
+    cmat = np.array([cents[j] for j in ids], dtype=np.int64)
+    cc = (cmat * cmat).sum(axis=1)
+    jarr = np.array(ids, dtype=np.int64)
+    # a fresh StructType — StructType.add would mutate q.schema in place
+    schema = StructType(list(q.schema.fields) + [StructField("cell", IntegerType())])
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vmat = np.array(pdf["qq"].tolist(), dtype=np.int64)
+            qq = (vmat * vmat).sum(axis=1)
+            enc = (qq[:, None] - 2 * (vmat @ cmat.T) + cc[None, :]) * k + jarr[None, :]
+            take = min(n_probe, enc.shape[1])
+            cells = (np.sort(enc, axis=1)[:, :take] % k).astype("int32")
+            out = pdf.loc[pdf.index.repeat(take)].reset_index(drop=True)
+            out["cell"] = cells.reshape(-1)
+            yield out
+
+    return q.mapInPandas(fn, schema)
 
 
 def ivf_kmeans_topk(

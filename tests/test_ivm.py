@@ -500,3 +500,46 @@ def test_delta_join_rejects_bad_how(spark):
             _join_changes(spark, s1, s2, ["repo"]),
             r1, s1, ["repo"], how="full",
         )
+
+
+def test_join_views_compose(spark, tmp_path):
+    """Maintained views COMPOSE: a maintained join view's own versioned
+    changelog (one pre/post pair per key per epoch — the maintain_join
+    contract) drives a SECOND maintained view downstream, Materialize-
+    style cascade. files ⋈ repos → (that view) ⋈ owners."""
+    from data_ingestion_resolution_platform_spark.operators.ivm import maintain_join
+
+    r1, r2 = _snapshots(spark)
+    r1, r2 = r1.drop("content"), r2.drop("content")
+    s1, s2 = _dims(spark)
+    owners = spark.createDataFrame(
+        [("alice", "us"), ("bob", "eu"), ("bob2", "ap"), ("carol", "us"), ("dave", "eu")],
+        "owner string, region string",
+    )
+    v1 = LakeTable(spark, str(tmp_path / "v1"))
+    seed1 = _direct_join(r1, s1)
+    v1.merge(seed1, ["repo", "path"], epoch_id="seed")
+    v2 = LakeTable(spark, str(tmp_path / "v2"))
+    v2.merge(seed1.join(owners, on="owner", how="inner"), ["repo", "path"], epoch_id="seed")
+    # advance v1 by one epoch (both base tables change)
+    maintain_join(
+        v1,
+        _join_changes(spark, r1, r2, ["repo", "path"]),
+        _join_changes(spark, s1, s2, ["repo"]),
+        r_before=r1, s_before=s1,
+        join_keys=["repo"], out_keys=["repo", "path"], epoch_id="e2",
+    )
+    # v1's own changelog (snapshot diff of its two retained versions)
+    # is itself an invertible feed — drive v2 from it with a static dim
+    v1_changes = v1.changelog(1, 2, ["repo", "path"], include_preimages=True)
+    v1_before = v1.read(version=1)
+    maintain_join(
+        v2,
+        v1_changes,
+        _join_changes(spark, owners, owners, ["owner"]),  # empty ΔS
+        r_before=v1_before, s_before=owners,
+        join_keys=["owner"], out_keys=["repo", "path"], epoch_id="e2",
+    )
+    want = _direct_join(r2, s2).join(owners, on="owner", how="inner")
+    got = v2.read().select(*want.columns)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -365,13 +365,6 @@ def maintain_join(
     if epoch_id is not None and view.epoch_committed(epoch_id):
         return {"skipped": True, "epoch": str(epoch_id)}
     key_list = list(out_keys)
-    # each Δ feed appears in 2 (inner) to 4 (left) delta terms, and each
-    # term's subtree would re-run the feed's upstream (a snapshot_diff
-    # full-outer, or the pipeline's target semi-join) — persist the
-    # epoch-small feeds for the duration of the MERGE (same pattern as
-    # maintain_aggregate's delta persist)
-    r_changes = r_changes.persist()
-    s_changes = s_changes.persist()
     dv = delta_join(
         r_changes, s_changes, r_before, s_before, join_keys, change_col, how=how
     )
@@ -395,14 +388,10 @@ def maintain_join(
         *[F.col(f"_img.{c}").alias(c) for c in attrs],
         (F.col("_maxnet") < 0).alias("_ivm_delete"),
     )
-    try:
-        return view.merge(
-            batch,
-            key_list,
-            epoch_id=epoch_id,
-            delete_condition=F.col("_ivm_delete"),
-            drop_cols=("_ivm_delete",),
-        )
-    finally:
-        r_changes.unpersist()
-        s_changes.unpersist()
+    return view.merge(
+        batch,
+        key_list,
+        epoch_id=epoch_id,
+        delete_condition=F.col("_ivm_delete"),
+        drop_cols=("_ivm_delete",),
+    )

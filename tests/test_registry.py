@@ -24,14 +24,21 @@ GATE_WINDOW = 50
 MUST_BE_GATED = {
     # never directly gated before round 4
     "pipeline_scd2_history",
-    # the 36 other below-window r02-greens rotating back in
+    # the below-window r02-greens rotating back in. Mid-round amendment:
+    # customer_set_ops, dedup_ngram_jaccard, and latest_order_salted were
+    # displaced back below the line to make room for the three NEW
+    # join-IVM queries (brand-new code needs a first hard row more than
+    # unchanged twice-green code needs a refresh) — all three are
+    # family-redundant (set ops via distinct_union; 5 sibling dedup
+    # greens; oracle-identical twin latest_order_per_customer in-window)
+    # and rotate back in round 5.
     "stream_enrich", "pricing_summary", "shipping_priority", "dedup_minhash",
-    "latest_order_per_customer", "latest_order_salted", "local_supplier_volume",
+    "latest_order_per_customer", "local_supplier_volume",
     "semi_join_customers", "anti_join_customers", "orders_above_cust_avg",
     "topk_orders", "distinct_union", "pricing_rollup", "order_percentiles",
     "orders_running_total", "events_value_bands", "events_type_pivot",
-    "customer_set_ops", "contacts_normalize", "contacts_issues", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_clusters", "text_quality", "lang_id",
+    "contacts_normalize", "contacts_issues", "dedup_exact",
+    "dedup_clusters", "text_quality", "lang_id",
     "token_stats", "doc_fingerprints", "ann_topk", "dedup_embedding_exact",
     "asof_purchase_click", "asof_cogroup", "events_tumbling", "events_gapfill",
     "events_session_window", "dedup_incremental", "dedup_simhash",
@@ -39,6 +46,8 @@ MUST_BE_GATED = {
     "contacts_csv_ingest", "fuzzy_part_match", "kmeans_embeddings",
     "ann_ivf_kmeans", "multimodal_features", "scd2_incremental",
     "cdc_bootstrap_handoff",
+    "ivm_incremental_join", "pipeline_maintained_view",
+    "ivm_incremental_join_outer",
     # flagship core stays gated every round
     "cdc_apply_changes", "pipeline_cdc_e2e", "pipeline_maintained_stats",
     "events_scd2", "events_scd2_asof", "stream_tumbling",

@@ -32,9 +32,18 @@ Plan shape / scale:
 - applying the delta is a join on the group key where one side is the
   per-epoch delta (small ⇒ broadcast) — with a bucketed state table the
   rewrite touches only the buckets holding changed groups.
-MIN/MAX are NOT additive (a delete can require a rescan of the group)
-and are deliberately not offered here — use ``resolve_latest`` /
-rollup queries for those.
+Non-additive aggregates get their own maintainers instead of the
+naive full-rescan:
+
+- COUNT(DISTINCT x) — :func:`maintain_distinct` keeps a multiplicity
+  side table per (group, value) and derives the distinct-count delta
+  from zero crossings of the multiplicity (0→+ adds a distinct value,
+  +→0 removes one). Both levels stay O(|Δ|) per epoch.
+- MIN/MAX — :func:`maintain_minmax`. Inserts are additive
+  (new_max = greatest(old, Δmax)); a delete can only invalidate the
+  stored extreme when the retracted value TIES it, so only those
+  "dirty" groups are rescanned from the base table — a broadcast
+  semi-pruned scan of the touched groups, never the full base.
 """
 
 from __future__ import annotations
@@ -185,6 +194,245 @@ def maintain_aggregate(
             epoch_id=epoch_id,
             delete_condition=F.col(count_alias) <= 0,
         )
+    finally:
+        delta.unpersist()
+
+
+def maintain_distinct(
+    mult_table,
+    count_table,
+    changes: DataFrame,
+    group_keys: Sequence[str],
+    value_col: str,
+    epoch_id: str | int | None = None,
+    change_col: str = "change_type",
+    distinct_alias: str = "n_distinct",
+    count_alias: str = "n_rows",
+) -> dict:
+    """Maintain per-group ``COUNT(DISTINCT value_col)`` (plus the plain
+    row count) from one invertible change-feed epoch, exactly-once.
+
+    COUNT(DISTINCT) is not additive — an insert of an already-present
+    value must NOT bump the count, and a delete must only decrement it
+    when the LAST occurrence goes away. The classic fix (DBToaster-
+    style higher-order maintenance) is a multiplicity side table keyed
+    ``group_keys + value_col`` holding how many base rows carry each
+    value; the distinct count then changes exactly at the zero
+    crossings of that multiplicity:
+
+        Δdistinct(group) = Σ_values [new_mult > 0] - [old_mult > 0]
+
+    Plan shape / scale: the multiplicity delta shuffles only the
+    change batch; old multiplicities come from a broadcast-semi-pruned
+    read of the side table (only touched (group, value) pairs — the
+    side table never shuffles); the second-level delta is a groupBy of
+    the already-epoch-sized frame. Both MERGEs touch only changed
+    buckets. Epoch cost is O(|Δ|), independent of group count,
+    value cardinality, and base size.
+
+    Crash contract: ``count_table`` commits FIRST. On redelivery the
+    count merge no-ops via its ledger while the multiplicity pre-state
+    (still unmerged) reproduces the identical batches. The reverse
+    ledger state — multiplicities committed, counts not — cannot be
+    produced by this function and means the old multiplicities needed
+    to rebuild the distinct delta are gone, so it raises.
+    """
+    mult_done = epoch_id is not None and mult_table.epoch_committed(epoch_id)
+    count_done = epoch_id is not None and count_table.epoch_committed(epoch_id)
+    if mult_done and count_done:
+        return {"skipped": True, "epoch": str(epoch_id)}
+    if mult_done and not count_done:
+        raise RuntimeError(
+            f"epoch {epoch_id!r} committed on the multiplicity table but not the "
+            "count table: pre-image multiplicities are gone, the distinct delta "
+            "is unrecoverable (count_table must always commit first)"
+        )
+    key_list = list(group_keys)
+    mkeys = key_list + [value_col]
+    mdelta = delta_aggregate(
+        changes, mkeys, None, change_col=change_col, count_alias="_dmult"
+    ).persist()
+    try:
+        if mult_table.exists():
+            cur = mult_table.read().select(*mkeys, F.col("_mult").alias("_old"))
+            touched = cur.join(
+                F.broadcast(mdelta.select(*mkeys)), on=mkeys, how="left_semi"
+            )
+            j = mdelta.join(F.broadcast(touched), on=mkeys, how="left")
+        else:
+            j = mdelta.withColumn("_old", F.lit(None).cast("long"))
+        j = j.withColumn(
+            "_new", (F.coalesce(F.col("_old"), F.lit(0)) + F.col("_dmult")).cast("long")
+        ).persist()
+        try:
+            cdelta = j.groupBy(*key_list).agg(
+                F.sum(
+                    (F.col("_new") > 0).cast("int")
+                    - (F.coalesce(F.col("_old"), F.lit(0)) > 0).cast("int")
+                ).cast("long").alias("_dd"),
+                F.sum("_dmult").cast("long").alias("_dc"),
+            )
+            if count_table.exists():
+                ccur = count_table.read().select(
+                    *key_list,
+                    F.col(distinct_alias).alias("_sd"),
+                    F.col(count_alias).alias("_sc"),
+                )
+                ctouched = ccur.join(
+                    F.broadcast(cdelta.select(*key_list)), on=key_list, how="left_semi"
+                )
+                cj = cdelta.join(F.broadcast(ctouched), on=key_list, how="left")
+            else:
+                cj = cdelta.withColumn("_sd", F.lit(None).cast("long")).withColumn(
+                    "_sc", F.lit(None).cast("long")
+                )
+            cbatch = cj.select(
+                *key_list,
+                (F.coalesce(F.col("_sd"), F.lit(0)) + F.col("_dd"))
+                .cast("long")
+                .alias(distinct_alias),
+                (F.coalesce(F.col("_sc"), F.lit(0)) + F.col("_dc"))
+                .cast("long")
+                .alias(count_alias),
+            )
+            counts = count_table.merge(
+                cbatch,
+                key_list,
+                epoch_id=epoch_id,
+                delete_condition=F.col(count_alias) <= 0,
+            )
+            mbatch = j.select(*mkeys, F.col("_new").alias("_mult"))
+            mult = mult_table.merge(
+                mbatch,
+                mkeys,
+                epoch_id=epoch_id,
+                delete_condition=F.col("_mult") <= 0,
+            )
+            return {"counts": counts, "multiplicities": mult}
+        finally:
+            j.unpersist()
+    finally:
+        mdelta.unpersist()
+
+
+def maintain_minmax(
+    table,
+    changes: DataFrame,
+    base_after: DataFrame,
+    group_keys: Sequence[str],
+    value_expr: str,
+    epoch_id: str | int | None = None,
+    change_col: str = "change_type",
+    count_alias: str = "n_rows",
+    min_alias: str = "min_v",
+    max_alias: str = "max_v",
+) -> dict:
+    """Maintain per-group MIN/MAX (plus row count) from one invertible
+    change-feed epoch, exactly-once, without a full-group rescan.
+
+    Inserts are additive: ``new_max = greatest(stored, Δmax⁺)``. A
+    retraction (delete / update pre-image) can only invalidate the
+    stored extreme when the retracted value TIES it — anything strictly
+    inside the interval leaves min/max untouched. So:
+
+    - groups where every retracted value sits strictly inside
+      ``(stored_min, stored_max)`` are maintained purely from the delta
+      (no base read at all);
+    - the remaining "dirty" groups — retraction touched an extreme —
+      are recomputed by scanning ``base_after`` (the POST-epoch base
+      table the pipeline maintains anyway) pruned to exactly those
+      groups via a broadcast semi join (a runtime filter / DPP-style
+      partition prune when the base is partitioned on the group key).
+
+    Epoch cost is O(|Δ| + rows in dirty groups): the worst case (every
+    delete hits a group max) degrades to a scan of touched groups, the
+    theoretical floor for MIN/MAX deletion; the common case never
+    touches the base. A group whose row count reaches 0 is deleted via
+    the MERGE delete clause. Rides the table's epoch ledger.
+
+    ``value_expr`` is a SQL expression evaluated against both the
+    change rows and ``base_after`` (they must share the column it
+    reads), e.g. ``"cast(length(content) as bigint)"``.
+    """
+    if epoch_id is not None and table.epoch_committed(epoch_id):
+        return {"skipped": True, "epoch": str(epoch_id)}
+    key_list = list(group_keys)
+    sign = F.create_map(*[F.lit(x) for kv in _SIGN.items() for x in kv])[
+        F.col(change_col)
+    ]
+    v = F.expr(value_expr)
+    signed = changes.withColumn("_sign", sign).filter(F.col("_sign").isNotNull())
+    delta = signed.groupBy(*key_list).agg(
+        F.sum("_sign").cast("long").alias("_dn"),
+        F.min(F.when(F.col("_sign") > 0, v)).alias("_pos_min"),
+        F.max(F.when(F.col("_sign") > 0, v)).alias("_pos_max"),
+        F.min(F.when(F.col("_sign") < 0, v)).alias("_neg_min"),
+        F.max(F.when(F.col("_sign") < 0, v)).alias("_neg_max"),
+    ).persist()
+    try:
+        if table.exists():
+            cur = table.read().select(
+                *key_list,
+                F.col(count_alias).alias("_sn"),
+                F.col(min_alias).alias("_smin"),
+                F.col(max_alias).alias("_smax"),
+            )
+            touched = cur.join(
+                F.broadcast(delta.select(*key_list)), on=key_list, how="left_semi"
+            )
+            j = delta.join(F.broadcast(touched), on=key_list, how="left")
+        else:
+            j = (
+                delta.withColumn("_sn", F.lit(None).cast("long"))
+                .withColumn("_smin", F.lit(None).cast(delta.schema["_pos_min"].dataType))
+                .withColumn("_smax", F.lit(None).cast(delta.schema["_pos_max"].dataType))
+            )
+        has_neg = F.col("_neg_min").isNotNull()
+        # a retraction is dangerous iff it reaches a stored extreme; a
+        # retraction against an unknown group (no stored state) is a feed/
+        # state mismatch — rescan-safe rather than silently wrong
+        dirty = has_neg & (
+            F.col("_sn").isNull()
+            | (F.col("_neg_max") >= F.col("_smax"))
+            | (F.col("_neg_min") <= F.col("_smin"))
+        )
+        j = j.withColumn("_dirty", dirty).persist()
+        try:
+            clean = j.filter(~F.col("_dirty")).select(
+                *key_list,
+                (F.coalesce(F.col("_sn"), F.lit(0)) + F.col("_dn"))
+                .cast("long")
+                .alias(count_alias),
+                F.least(F.col("_smin"), F.col("_pos_min")).alias(min_alias),
+                F.greatest(F.col("_smax"), F.col("_pos_max")).alias(max_alias),
+            )
+            dirty_keys = j.filter(F.col("_dirty")).select(*key_list)
+            rescan = (
+                base_after.join(F.broadcast(dirty_keys), on=key_list, how="left_semi")
+                .groupBy(*key_list)
+                .agg(
+                    F.count("*").cast("long").alias(count_alias),
+                    F.min(v).alias(min_alias),
+                    F.max(v).alias(max_alias),
+                )
+            )
+            # a dirty group absent from base_after was fully emptied this
+            # epoch — emit an explicit zero-count row so MERGE deletes it
+            dirty_batch = dirty_keys.join(rescan, on=key_list, how="left").select(
+                *key_list,
+                F.coalesce(F.col(count_alias), F.lit(0)).cast("long").alias(count_alias),
+                F.col(min_alias),
+                F.col(max_alias),
+            )
+            batch = clean.unionByName(dirty_batch)
+            return table.merge(
+                batch,
+                key_list,
+                epoch_id=epoch_id,
+                delete_condition=F.col(count_alias) <= 0,
+            )
+        finally:
+            j.unpersist()
     finally:
         delta.unpersist()
 

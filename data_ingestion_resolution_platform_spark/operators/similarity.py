@@ -300,6 +300,74 @@ def ivf_kmeans_topk(
     return ivf_probe(idx, probes, k)
 
 
+def maintain_ivf_index(
+    index,
+    changes: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    portable: bool = False,
+    cents: dict[int, list[int]] | None = None,
+    epoch_id: str | int | None = None,
+    change_col: str = "change_type",
+) -> dict:
+    """Maintain a persisted IVF index ``LakeTable`` from one invertible
+    change-feed epoch on the embedding corpus, exactly-once — the
+    similarity-search twin of ``operators/dedup_incremental``: at
+    100 TB the index is NEVER rebuilt per ingest batch; only the
+    epoch's vectors are (re)assigned to cells and MERGEd in.
+
+    - insert / update_postimage → assign the NEW vector to its cell
+      (O(|Δ|) scoring against the codebook — seeded hyperplanes by
+      default, or a trained k-means codebook via ``cents``) and upsert
+      ``(neighbor_id, cq, cell)`` by id;
+    - delete → MERGE delete by id;
+    - update_preimage → ignored: the index is id-keyed, so the post-
+      image row REPLACES the old one wholesale (including a cell move
+      when the vector drifted across a centroid boundary).
+
+    The codebook (``n_cells``/``seed``/``cents``) must be the one the
+    index was built with — cell assignment is a pure function of
+    (vector, codebook), so maintained-by-delta equals rebuilt-from-
+    scratch exactly, which is what the ``ann_ivf_incremental`` oracle
+    asserts. Feed contract: one change per id per epoch (a
+    ``snapshot_diff``/``changelog`` epoch), keeping the MERGE batch
+    key-unique. Rides the index table's epoch ledger.
+
+    Scale shape: Δ-only codebook scoring (map-side, no shuffle), one
+    broadcast-keyed MERGE touching only the buckets holding changed
+    ids; probes keep planning as cell-pruned scans between epochs.
+    Retraining/re-clustering the codebook itself is a separate offline
+    concern (stale centroids degrade recall, never correctness, since
+    probes rank cells with the same codebook the index uses).
+    """
+    if epoch_id is not None and index.epoch_committed(epoch_id):
+        return {"skipped": True, "epoch": str(epoch_id)}
+    src = changes.filter(
+        F.col(change_col).isin("insert", "update_postimage")
+    ).select(F.col(id_col).alias("__mid"), F.col(vec_col))
+    if cents is not None:
+        up = ivf_kmeans_index(src, cents, vec_col, "__mid", n_cells)
+    else:
+        up = ivf_index(src, vec_col, "__mid", n_cells, seed, portable)
+    up = up.withColumn("_del", F.lit(False))
+    dels = changes.filter(F.col(change_col) == "delete").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.lit(None).cast(up.schema["cq"].dataType).alias("cq"),
+        F.lit(None).cast(up.schema["cell"].dataType).alias("cell"),
+        F.lit(True).alias("_del"),
+    )
+    batch = up.unionByName(dels)
+    return index.merge(
+        batch,
+        ["neighbor_id"],
+        epoch_id=epoch_id,
+        delete_condition=F.col("_del"),
+        drop_cols=("_del",),
+    )
+
+
 def ivf_probe(index: DataFrame, q_exploded: DataFrame, k: int = 10) -> DataFrame:
     """Score an (already cell-filtered) index slice against the
     broadcast probe frame; exact cosine within probed cells."""

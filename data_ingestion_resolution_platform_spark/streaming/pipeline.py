@@ -37,6 +37,7 @@ from data_ingestion_resolution_platform_spark.sources.lake import (
     PartitionedLakeTable,
 )
 from data_ingestion_resolution_platform_spark.streaming.lineage import epoch_summary, lineage_rows
+from data_ingestion_resolution_platform_spark.util import empty_df
 from data_ingestion_resolution_platform_spark.streaming.schema_evolution import reconcile_exprs
 
 
@@ -387,7 +388,7 @@ class CDCPipeline:
             r_before = self.target.read().select(*cols)
         else:
             r_before = (
-                self.spark.createDataFrame([], self.view.read().select(*cols).schema)
+                empty_df(self.spark, self.view.read().select(*cols).schema)
                 if self.view.exists()
                 else None
             )

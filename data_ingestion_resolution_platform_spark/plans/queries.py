@@ -2447,6 +2447,137 @@ FROM files f LEFT JOIN repos r USING (repo)
 """
 
 
+def q_ivm_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental COUNT(DISTINCT) maintenance — the aggregate plain
+    signed deltas CANNOT maintain (inserting a duplicate value must not
+    bump the count; a delete decrements only when the last occurrence
+    dies): seed a per-repo distinct-lang count plus its multiplicity
+    side table from the lake's v1 snapshot, advance both to v2 using
+    ONLY the invertible change feed (``operators/ivm.py
+    maintain_distinct`` — the distinct delta is the multiplicity's
+    zero crossings, O(epoch) at both levels, base never rescanned).
+    The oracle recomputes COUNT(DISTINCT) from scratch on the v2 LWW
+    state."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.ivm import (
+        maintain_distinct,
+    )
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = _two_epoch_code_lake(spark, sf_dir, f"/tmp/dirp_ivmd_src_{tag}")
+    mult_root = f"/tmp/dirp_ivmd_mult_{tag}"
+    cnt_root = f"/tmp/dirp_ivmd_cnt_{tag}"
+    shutil.rmtree(mult_root, ignore_errors=True)
+    shutil.rmtree(cnt_root, ignore_errors=True)
+    mult, cnt = LakeTable(spark, mult_root), LakeTable(spark, cnt_root)
+    v1 = src.read(version=1)
+    mult.merge(
+        v1.groupBy("repo", "lang").agg(F.count("*").cast("long").alias("_mult")),
+        ["repo", "lang"],
+        epoch_id="seed_v1",
+    )
+    cnt.merge(
+        v1.groupBy("repo").agg(
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.count("*").cast("long").alias("n_files"),
+        ),
+        ["repo"],
+        epoch_id="seed_v1",
+    )
+    changes = src.changelog(1, 2, ["repo", "path"], include_preimages=True)
+    maintain_distinct(
+        mult,
+        cnt,
+        changes,
+        ["repo"],
+        "lang",
+        epoch_id="ivmd_v2",
+        distinct_alias="n_langs",
+        count_alias="n_files",
+    )
+    return cnt.read().select("repo", "n_langs", "n_files")
+
+
+SQL_IVM_DISTINCT = f"""
+WITH feed AS ({_DERIVED_FEED_SQL}),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM feed
+), s2 AS (
+  SELECT repo, lang FROM w WHERE rn = 1 AND op <> 'D'
+)
+SELECT repo,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(*) AS BIGINT) AS n_files
+FROM s2 GROUP BY repo
+"""
+
+
+def q_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MIN/MAX maintenance — the other classically
+    non-additive aggregate (a delete that retracts the group extreme
+    invalidates the stored value): seed per-repo file-size extremes
+    from the lake's v1 snapshot, advance to v2 from the invertible
+    change feed (``operators/ivm.py maintain_minmax``). Inserts stay
+    pure-delta; only groups where a retraction TIES a stored extreme
+    are rescanned, and that rescan reads the post-epoch base pruned to
+    exactly those groups via broadcast semi join — never the full
+    table. The oracle recomputes the extremes from scratch on the v2
+    LWW state."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.ivm import maintain_minmax
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = _two_epoch_code_lake(spark, sf_dir, f"/tmp/dirp_ivmm_src_{tag}")
+    root = f"/tmp/dirp_ivmm_state_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    state = LakeTable(spark, root)
+    v1 = src.read(version=1)
+    vexpr = "cast(length(content) as bigint)"
+    state.merge(
+        v1.groupBy("repo").agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.min(F.expr(vexpr)).alias("min_bytes"),
+            F.max(F.expr(vexpr)).alias("max_bytes"),
+        ),
+        ["repo"],
+        epoch_id="seed_v1",
+    )
+    changes = src.changelog(1, 2, ["repo", "path"], include_preimages=True)
+    maintain_minmax(
+        state,
+        changes,
+        src.read(version=2),
+        ["repo"],
+        vexpr,
+        epoch_id="ivmm_v2",
+        count_alias="n_files",
+        min_alias="min_bytes",
+        max_alias="max_bytes",
+    )
+    return state.read().select("repo", "n_files", "min_bytes", "max_bytes")
+
+
+SQL_IVM_MINMAX = f"""
+WITH feed AS ({_DERIVED_FEED_SQL}),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM feed
+), s2 AS (
+  SELECT repo, content FROM w WHERE rn = 1 AND op <> 'D'
+)
+SELECT repo,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(min(length(content)) AS BIGINT) AS min_bytes,
+       CAST(max(length(content)) AS BIGINT) AS max_bytes
+FROM s2 GROUP BY repo
+"""
+
+
 def q_pipeline_maintained_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline-integrated join-view maintenance
     (``CDCPipeline(maintain_view=True)``): the denormalized
@@ -2589,7 +2720,12 @@ FROM n
 """
 
 
-_QV_SQL = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+def _qv_of(expr: str) -> str:
+    """DuckDB twin of functions/vectors.quantize_vector over ``expr``."""
+    return f"list_transform({expr}, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+
+_QV_SQL = _qv_of("embedding")
 
 
 def _signed_dot_sql(vec: str, salt: int) -> str:
@@ -2616,9 +2752,16 @@ def _qcos_sql(a: str, b: str) -> str:
     )
 
 
-def _ivf_sql(n_cells: int = 16, n_probe: int = 4, k: int = 10, seed: int = 42) -> str:
+def _ivf_sql(
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    seed: int = 42,
+    base_sql: str | None = None,
+) -> str:
     from data_ingestion_resolution_platform_spark.operators.similarity import _cell_salt
 
+    base = base_sql or f"SELECT vec_id, {_QV_SQL} AS qv FROM embeddings"
     # encode (dot, cell) as dot*n_cells + cell: list_max / list_sort on
     # the encoding orders exactly like Spark's struct(dot, cell)
     enc = ", ".join(
@@ -2628,7 +2771,7 @@ def _ivf_sql(n_cells: int = 16, n_probe: int = 4, k: int = 10, seed: int = 42) -
     unmod = f"((x % {n_cells}) + {n_cells}) % {n_cells}"
     return f"""
 WITH base AS (
-  SELECT vec_id, {_QV_SQL} AS qv FROM embeddings
+  {base}
 ), cells AS (
   SELECT vec_id, qv, [{enc}] AS enc FROM base
 ), corpus AS (
@@ -2687,6 +2830,68 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = sorted(r.cell for r in qcells.select("cell").distinct().collect())
     stored = spark.read.parquet(root).filter(F.col("cell").isin(cells))
     return ivf_probe(stored, qcells, k=10)
+
+
+def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index kept fresh from a CDC epoch — the similarity twin of
+    ``dedup_incremental``: seed the persisted IVF index from the v1
+    corpus, then apply one invertible change epoch (inserts: vec_id %
+    17 = 3; deletes: % 13 = 2; updates: % 19 = 1 gets its vector
+    REVERSED, moving it across centroid boundaries) via
+    ``maintain_ivf_index`` — only the epoch's vectors are re-scored
+    against the codebook and MERGEd by id; the corpus is never
+    re-indexed. Probes over the maintained index must equal probes over
+    an index rebuilt from scratch on v2, which the oracle computes in
+    pure SQL with the portable codebook."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.similarity import (
+        ivf_index,
+        ivf_probe,
+        maintain_ivf_index,
+        query_probe_cells,
+    )
+    from data_ingestion_resolution_platform_spark.sources.lake import (
+        LakeTable,
+        snapshot_diff,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_ivf_inc_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vid = F.col("vec_id")
+    is_ins = F.pmod(vid, F.lit(17)) == 3
+    is_del = F.pmod(vid, F.lit(13)) == 2
+    is_upd = F.pmod(vid, F.lit(19)) == 1
+    v1 = emb.filter(~is_ins)
+    v2 = emb.filter(is_ins | ~is_del).select(
+        "vec_id",
+        F.when(~is_ins & ~is_del & is_upd, F.reverse("embedding"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    idx = LakeTable(spark, root)
+    idx.merge(
+        ivf_index(v1, "embedding", "vec_id", portable=True),
+        ["neighbor_id"],
+        epoch_id="seed_v1",
+    )
+    changes = snapshot_diff(v1, v2, ["vec_id"], include_preimages=True)
+    maintain_ivf_index(
+        idx, changes, "embedding", "vec_id", portable=True, epoch_id="inc_v2"
+    )
+    qcells = query_probe_cells(
+        v2.filter(vid < 5), "embedding", "vec_id", portable=True
+    )
+    return ivf_probe(idx.read(), qcells, k=10)
+
+
+_EMB_V2_BASE_SQL = f"""SELECT vec_id,
+         {_qv_of('''CASE WHEN vec_id % 17 <> 3 AND vec_id % 13 <> 2 AND vec_id % 19 = 1
+              THEN list_reverse(embedding) ELSE embedding END''')} AS qv
+  FROM embeddings
+  WHERE vec_id % 17 = 3 OR vec_id % 13 <> 2"""
 
 
 def _emb_lsh_sql(
@@ -3825,16 +4030,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "scd2_incremental": q_scd2_incremental,
     "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
+    "ivm_distinct_count": q_ivm_distinct_count,
+    "ivm_minmax": q_ivm_minmax,
+    "ann_ivf_incremental": q_ann_ivf_incremental,
     # -- flagship core kept under the gate every round -------------------
+    # (late-r4 amendment: pipeline_maintained_stats / events_scd2_asof /
+    # stream_tumbling moved just below the line to make room for the three
+    # NEW non-additive-IVM queries — unlike the 37 rotated entries above,
+    # those three already HAVE a green r03 driver row, so every registry
+    # query still ends round 4 with a hard row from r3 or r4)
     "cdc_apply_changes": q_cdc_apply_changes,
     "pipeline_cdc_e2e": q_pipeline_cdc_e2e,
-    "pipeline_maintained_stats": q_pipeline_maintained_stats,
     "events_scd2": q_events_scd2,
-    "events_scd2_asof": q_events_scd2_asof,
-    "stream_tumbling": q_stream_tumbling,
     # ======================= driver gate window ends =======================
     # Everything below has a GREEN driver row from CORRECTNESS_r03 and is
     # unchanged this round; rotates back into the window in round 5.
+    "pipeline_maintained_stats": q_pipeline_maintained_stats,
+    "events_scd2_asof": q_events_scd2_asof,
+    "stream_tumbling": q_stream_tumbling,
     # (customer_set_ops / dedup_ngram_jaccard / latest_order_salted were
     # displaced below the line mid-round-4 to make room for the new
     # ivm_incremental_join / pipeline_maintained_view /
@@ -3949,6 +4162,9 @@ ORACLES: dict[str, str] = {
     "contacts_csv_ingest": SQL_CONTACTS_CSV,
     "ann_ivf": _ivf_sql(),
     "ann_ivf_persisted": _ivf_sql(),
+    "ann_ivf_incremental": _ivf_sql(base_sql=_EMB_V2_BASE_SQL),
+    "ivm_distinct_count": SQL_IVM_DISTINCT,
+    "ivm_minmax": SQL_IVM_MINMAX,
     "dedup_embedding": _emb_lsh_sql(),
     "lake_prune_scan": SQL_PRUNE_SCAN,
     "bloom_prune_scan": SQL_BLOOM_PRUNE,

@@ -44,13 +44,17 @@ naive full-rescan:
   stored extreme when the retracted value TIES it, so only those
   "dirty" groups are rescanned from the base table — a broadcast
   semi-pruned scan of the touched groups, never the full base.
+- Per-group top-k — :func:`maintain_topk`. The stored k-buffer absorbs
+  inserts without a base read; only retractions that hit a stored row
+  force a back-fill rescan of that group (MIN/MAX is the k=1 special
+  case of the same argument).
 """
 
 from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: CDF change_type → contribution sign
@@ -435,6 +439,130 @@ def maintain_minmax(
             j.unpersist()
     finally:
         delta.unpersist()
+
+
+def maintain_topk(
+    view,
+    changes: DataFrame,
+    base_after: DataFrame,
+    group_keys: Sequence[str],
+    row_keys: Sequence[str],
+    order_expr: str,
+    k: int,
+    epoch_id: str | int | None = None,
+    change_col: str = "change_type",
+    descending: bool = True,
+) -> dict:
+    """Maintain a persisted per-group top-k view ``LakeTable`` (the
+    reference's paginated ORDER BY … LIMIT read models kept
+    continuously fresh) from one invertible change-feed epoch,
+    exactly-once.
+
+    Invariant: the view holds, per group, the top ``k`` base rows by
+    ``(order_expr, row_keys)`` — row keys break ties so the retained
+    set is deterministic. Maintenance splits touched groups:
+
+    - **clean** (no retraction hits a stored row): the new top-k is a
+      re-rank of (stored rows ∪ epoch's positive images) — the stored
+      buffer bounds it at k + |Δ_group| rows, no base read. Sound
+      because an out-of-view retraction ranked below the stored k-th
+      and a positive image can only displace downward.
+    - **dirty** (a retraction matches a stored row — including updates
+      that demote one): the unstored row k+1 may need to back-fill, so
+      the group is recomputed from ``base_after`` pruned to exactly the
+      dirty groups via broadcast semi join.
+
+    Epoch cost: O(|Δ| + k·touched + rows in dirty groups); the window
+    re-rank shuffles only that bounded candidate frame, never the base.
+    Displaced rows leave the view through the MERGE delete clause;
+    rides the view's epoch ledger.
+
+    Column contract: ``changes`` = view columns + ``change_col``;
+    ``base_after`` must contain every view column (project the ordering
+    measure into the feed upstream, e.g. ``nb = length(content)``).
+    """
+    if epoch_id is not None and view.epoch_committed(epoch_id):
+        return {"skipped": True, "epoch": str(epoch_id)}
+    gk, rk = list(group_keys), list(row_keys)
+    keys = gk + rk
+    cols = [c for c in changes.columns if c != change_col]
+    pos = changes.filter(
+        F.col(change_col).isin("insert", "update_postimage")
+    ).select(*cols)
+    neg_keys = changes.filter(
+        F.col(change_col).isin("delete", "update_preimage")
+    ).select(*keys)
+    touched = changes.select(*gk).distinct()
+    if view.exists():
+        vtouched = view.read().join(F.broadcast(touched), on=gk, how="left_semi")
+    else:
+        vtouched = pos.limit(0)
+    vtouched = vtouched.persist()
+    try:
+        # dirty = a retraction key matches a stored row (exact key match,
+        # not a value compare — ties make value compares ambiguous)
+        dirty_groups = (
+            vtouched.select(*keys)
+            .join(F.broadcast(neg_keys), on=keys, how="left_semi")
+            .select(*gk)
+            .distinct()
+            .persist()
+        )
+        try:
+            order = F.expr(order_expr)
+            ordering = [order.desc() if descending else order.asc()] + [
+                F.col(c) for c in rk
+            ]
+            w = Window.partitionBy(*gk).orderBy(*ordering)
+
+            def topk(df: DataFrame) -> DataFrame:
+                return (
+                    df.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") <= k)
+                    .drop("_rn")
+                )
+
+            # clean groups: stored buffer ∪ positive images, re-ranked.
+            # In a clean group no positive image shares a key with a
+            # stored row (that key's pre-image would have dirtied it),
+            # so the union is key-unique by construction.
+            vclean = vtouched.join(F.broadcast(dirty_groups), on=gk, how="left_anti")
+            pclean = pos.join(F.broadcast(dirty_groups), on=gk, how="left_anti")
+            new_clean = topk(vclean.select(*cols).unionByName(pclean))
+            # dirty groups: back-fill from the post-epoch base, pruned
+            rescan = base_after.select(*cols).join(
+                F.broadcast(dirty_groups), on=gk, how="left_semi"
+            )
+            new_top = new_clean.unionByName(topk(rescan)).persist()
+            try:
+                displaced = vtouched.select(*keys).join(
+                    new_top.select(*keys), on=keys, how="left_anti"
+                )
+                batch = new_top.withColumn("_del", F.lit(False)).unionByName(
+                    displaced.select(
+                        *keys,
+                        *[
+                            F.lit(None).cast(new_top.schema[c].dataType).alias(c)
+                            for c in cols
+                            if c not in keys
+                        ],
+                        F.lit(True).alias("_del"),
+                    ),
+                    allowMissingColumns=False,
+                )
+                return view.merge(
+                    batch,
+                    keys,
+                    epoch_id=epoch_id,
+                    delete_condition=F.col("_del"),
+                    drop_cols=("_del",),
+                )
+            finally:
+                new_top.unpersist()
+        finally:
+            dirty_groups.unpersist()
+    finally:
+        vtouched.unpersist()
 
 
 def delta_join(

@@ -2578,6 +2578,72 @@ FROM s2 GROUP BY repo
 """
 
 
+def q_ivm_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained per-group top-k read model (the
+    reference's paginated ORDER BY … LIMIT list endpoints kept fresh):
+    seed the top-3-largest-files-per-repo view from the lake's v1
+    snapshot, advance it to v2 from the invertible change feed only
+    (``operators/ivm.py maintain_topk``). Inserts re-rank against the
+    stored k-buffer with NO base read; only retractions that hit a
+    stored row back-fill via a rescan pruned to those groups by
+    broadcast semi join. The oracle recomputes the top-3 from scratch
+    on the v2 LWW state with the same (bytes DESC, path) tie-break."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.ivm import maintain_topk
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+    from pyspark.sql import Window
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = _two_epoch_code_lake(spark, sf_dir, f"/tmp/dirp_ivmt_src_{tag}")
+    root = f"/tmp/dirp_ivmt_view_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    view = LakeTable(spark, root)
+    proj = [
+        F.col("repo"),
+        F.col("path"),
+        F.length("content").cast("long").alias("nb"),
+    ]
+    v1 = src.read(version=1).select(*proj)
+    w = Window.partitionBy("repo").orderBy(F.col("nb").desc(), "path")
+    view.merge(
+        v1.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 3).drop("_rn"),
+        ["repo", "path"],
+        epoch_id="seed_v1",
+    )
+    changes = src.changelog(1, 2, ["repo", "path"], include_preimages=True).select(
+        "change_type", *proj
+    )
+    maintain_topk(
+        view,
+        changes,
+        src.read(version=2).select(*proj),
+        ["repo"],
+        ["path"],
+        "nb",
+        k=3,
+        epoch_id="ivmt_v2",
+    )
+    return view.read().select("repo", "path", "nb")
+
+
+SQL_IVM_TOPK = f"""
+WITH feed AS ({_DERIVED_FEED_SQL}),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM feed
+), s2 AS (
+  SELECT repo, path, CAST(length(content) AS BIGINT) AS nb
+  FROM w WHERE rn = 1 AND op <> 'D'
+), r AS (
+  SELECT repo, path, nb,
+         row_number() OVER (PARTITION BY repo ORDER BY nb DESC, path) AS rn2
+  FROM s2
+)
+SELECT repo, path, nb FROM r WHERE rn2 <= 3
+"""
+
+
 def q_pipeline_maintained_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline-integrated join-view maintenance
     (``CDCPipeline(maintain_view=True)``): the denormalized
@@ -4033,18 +4099,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_distinct_count": q_ivm_distinct_count,
     "ivm_minmax": q_ivm_minmax,
     "ann_ivf_incremental": q_ann_ivf_incremental,
+    "ivm_topk_view": q_ivm_topk_view,
     # -- flagship core kept under the gate every round -------------------
     # (late-r4 amendment: pipeline_maintained_stats / events_scd2_asof /
-    # stream_tumbling moved just below the line to make room for the three
-    # NEW non-additive-IVM queries — unlike the 37 rotated entries above,
-    # those three already HAVE a green r03 driver row, so every registry
-    # query still ends round 4 with a hard row from r3 or r4)
+    # stream_tumbling / events_scd2 moved just below the line to make room
+    # for the four NEW non-additive-IVM queries — unlike the 37 rotated
+    # entries above, those four already HAVE a green r03 driver row, and
+    # the round-4 SCD2 store change is gate-covered by scd2_incremental +
+    # pipeline_scd2_history, so every registry query still ends round 4
+    # with a hard row from r3 or r4)
     "cdc_apply_changes": q_cdc_apply_changes,
     "pipeline_cdc_e2e": q_pipeline_cdc_e2e,
-    "events_scd2": q_events_scd2,
     # ======================= driver gate window ends =======================
     # Everything below has a GREEN driver row from CORRECTNESS_r03 and is
     # unchanged this round; rotates back into the window in round 5.
+    "events_scd2": q_events_scd2,
     "pipeline_maintained_stats": q_pipeline_maintained_stats,
     "events_scd2_asof": q_events_scd2_asof,
     "stream_tumbling": q_stream_tumbling,
@@ -4165,6 +4234,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_incremental": _ivf_sql(base_sql=_EMB_V2_BASE_SQL),
     "ivm_distinct_count": SQL_IVM_DISTINCT,
     "ivm_minmax": SQL_IVM_MINMAX,
+    "ivm_topk_view": SQL_IVM_TOPK,
     "dedup_embedding": _emb_lsh_sql(),
     "lake_prune_scan": SQL_PRUNE_SCAN,
     "bloom_prune_scan": SQL_BLOOM_PRUNE,

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from data_ingestion_resolution_platform_spark.operators.ivm import (
     maintain_distinct,
     maintain_minmax,
+    maintain_topk,
 )
 from data_ingestion_resolution_platform_spark.operators.similarity import (
     ivf_index,
@@ -181,6 +182,78 @@ def test_maintain_minmax_redelivery(spark, tmp_path):
     out = maintain_minmax(t, changes, v2, ["repo"], "size", epoch_id="e2")
     assert out == {"skipped": True, "epoch": "e2"}
     assert _rows(t.read(), "repo", "n_rows", "min_v", "max_v") == before
+
+
+def _seed_topk(spark, tmp_path, v1, k=2):
+    from pyspark.sql import Window
+
+    t = LakeTable(spark, str(tmp_path / "topk"))
+    w = Window.partitionBy("repo").orderBy(F.col("size").desc(), "path")
+    t.merge(
+        v1.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn"),
+        ["repo", "path"],
+        epoch_id="seed",
+    )
+    return t
+
+
+def _expect_topk(df, k=2):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("repo").orderBy(F.col("size").desc(), "path")
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def test_maintain_topk_matches_recompute(spark, tmp_path):
+    # V1/V2 hit every path: r1 loses an in-buffer row (40) -> back-fill
+    # rescan; r1 gains 15 (below new cutoff) and keeps 25; r2 loses its
+    # top row; r3 empties; r4 is new
+    v1, v2 = _snapshots(spark)
+    t = _seed_topk(spark, tmp_path, v1)
+    changes = snapshot_diff(v1, v2, ["repo", "path"], include_preimages=True)
+    maintain_topk(t, changes, v2, ["repo"], ["path"], "size", k=2, epoch_id="e2")
+    got = _rows(t.read(), "repo", "path", "size")
+    assert got == _rows(_expect_topk(v2), "repo", "path", "size")
+
+
+def test_maintain_topk_clean_insert_skips_rescan(spark, tmp_path):
+    # insert a new top row into a full group; no retraction touches the
+    # buffer, so a poisoned base proves the clean path never reads it
+    v1 = spark.createDataFrame(
+        [("r1", "a", "py", 10), ("r1", "b", "py", 20), ("r1", "c", "py", 30)],
+        SCHEMA,
+    )
+    v2 = spark.createDataFrame(
+        [("r1", "a", "py", 10), ("r1", "b", "py", 20), ("r1", "c", "py", 30),
+         ("r1", "d", "py", 50)],
+        SCHEMA,
+    )
+    t = _seed_topk(spark, tmp_path, v1)
+    changes = snapshot_diff(v1, v2, ["repo", "path"], include_preimages=True)
+    poisoned = v2.withColumn("size", F.lit(-1).cast("long"))
+    maintain_topk(t, changes, poisoned, ["repo"], ["path"], "size", k=2, epoch_id="e2")
+    # new top-2 is (d, 50), (c, 30); b displaced out of the view
+    assert _rows(t.read(), "repo", "path", "size") == [("r1", "c", 30), ("r1", "d", 50)]
+
+
+def test_maintain_topk_demoting_update_backfills(spark, tmp_path):
+    # update demotes the stored #1 below everything -> dirty rescan must
+    # back-fill the unstored row c
+    v1 = spark.createDataFrame(
+        [("r1", "a", "py", 100), ("r1", "b", "py", 90), ("r1", "c", "py", 80)],
+        SCHEMA,
+    )
+    v2 = spark.createDataFrame(
+        [("r1", "a", "py", 1), ("r1", "b", "py", 90), ("r1", "c", "py", 80)],
+        SCHEMA,
+    )
+    t = _seed_topk(spark, tmp_path, v1)
+    changes = snapshot_diff(v1, v2, ["repo", "path"], include_preimages=True)
+    maintain_topk(t, changes, v2, ["repo"], ["path"], "size", k=2, epoch_id="e2")
+    assert _rows(t.read(), "repo", "path", "size") == [("r1", "b", 90), ("r1", "c", 80)]
+    # redelivery is a no-op
+    out = maintain_topk(t, changes, v2, ["repo"], ["path"], "size", k=2, epoch_id="e2")
+    assert out == {"skipped": True, "epoch": "e2"}
 
 
 VEC_SCHEMA = "vec_id long, embedding array<float>"

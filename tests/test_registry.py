@@ -49,12 +49,14 @@ MUST_BE_GATED = {
     "ivm_incremental_join", "pipeline_maintained_view",
     "ivm_incremental_join_outer",
     # late-r4 non-additive-IVM additions (brand-new code, first hard row);
-    # pipeline_maintained_stats / events_scd2_asof / stream_tumbling moved
-    # just below the line for these — they keep their green r03 rows, so
-    # the "every query has an r3-or-r4 driver row" invariant holds
+    # pipeline_maintained_stats / events_scd2_asof / stream_tumbling /
+    # events_scd2 moved just below the line for these — each keeps its
+    # green r03 row, so the "every query has an r3-or-r4 driver row"
+    # invariant holds
     "ivm_distinct_count", "ivm_minmax", "ann_ivf_incremental",
+    "ivm_topk_view",
     # flagship core stays gated every round
-    "cdc_apply_changes", "pipeline_cdc_e2e", "events_scd2",
+    "cdc_apply_changes", "pipeline_cdc_e2e",
 }
 
 

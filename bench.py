@@ -570,6 +570,9 @@ HEADLINE = [
     "ann_ivf_kmeans",
     "scd2_incremental",
     "ivm_incremental_join",
+    # late round 4: non-additive IVM family
+    "ivm_topk_view",
+    "ann_ivf_incremental",
 ]
 
 

@@ -486,19 +486,24 @@ def maintain_topk(
     gk, rk = list(group_keys), list(row_keys)
     keys = gk + rk
     cols = [c for c in changes.columns if c != change_col]
-    pos = changes.filter(
-        F.col(change_col).isin("insert", "update_postimage")
-    ).select(*cols)
-    neg_keys = changes.filter(
-        F.col(change_col).isin("delete", "update_preimage")
-    ).select(*keys)
-    touched = changes.select(*gk).distinct()
-    if view.exists():
-        vtouched = view.read().join(F.broadcast(touched), on=gk, how="left_semi")
-    else:
-        vtouched = pos.limit(0)
-    vtouched = vtouched.persist()
+    # the feed fans out into pos / neg / touched and re-enters the batch
+    # plan several times; one persisted evaluation keeps a potentially
+    # expensive upstream (a changelog's time-travel diff) from being
+    # recomputed per branch, while everything downstream stays lazy so
+    # the single MERGE action evaluates the whole tree once
+    changes = changes.persist()
     try:
+        pos = changes.filter(
+            F.col(change_col).isin("insert", "update_postimage")
+        ).select(*cols)
+        neg_keys = changes.filter(
+            F.col(change_col).isin("delete", "update_preimage")
+        ).select(*keys)
+        touched = changes.select(*gk).distinct()
+        if view.exists():
+            vtouched = view.read().join(F.broadcast(touched), on=gk, how="left_semi")
+        else:
+            vtouched = pos.limit(0)
         # dirty = a retraction key matches a stored row (exact key match,
         # not a value compare — ties make value compares ambiguous)
         dirty_groups = (
@@ -506,63 +511,56 @@ def maintain_topk(
             .join(F.broadcast(neg_keys), on=keys, how="left_semi")
             .select(*gk)
             .distinct()
-            .persist()
         )
-        try:
-            order = F.expr(order_expr)
-            ordering = [order.desc() if descending else order.asc()] + [
-                F.col(c) for c in rk
-            ]
-            w = Window.partitionBy(*gk).orderBy(*ordering)
+        order = F.expr(order_expr)
+        ordering = [order.desc() if descending else order.asc()] + [
+            F.col(c) for c in rk
+        ]
+        w = Window.partitionBy(*gk).orderBy(*ordering)
 
-            def topk(df: DataFrame) -> DataFrame:
-                return (
-                    df.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") <= k)
-                    .drop("_rn")
-                )
-
-            # clean groups: stored buffer ∪ positive images, re-ranked.
-            # In a clean group no positive image shares a key with a
-            # stored row (that key's pre-image would have dirtied it),
-            # so the union is key-unique by construction.
-            vclean = vtouched.join(F.broadcast(dirty_groups), on=gk, how="left_anti")
-            pclean = pos.join(F.broadcast(dirty_groups), on=gk, how="left_anti")
-            new_clean = topk(vclean.select(*cols).unionByName(pclean))
-            # dirty groups: back-fill from the post-epoch base, pruned
-            rescan = base_after.select(*cols).join(
-                F.broadcast(dirty_groups), on=gk, how="left_semi"
+        def topk(df: DataFrame) -> DataFrame:
+            return (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k)
+                .drop("_rn")
             )
-            new_top = new_clean.unionByName(topk(rescan)).persist()
-            try:
-                displaced = vtouched.select(*keys).join(
-                    new_top.select(*keys), on=keys, how="left_anti"
-                )
-                batch = new_top.withColumn("_del", F.lit(False)).unionByName(
-                    displaced.select(
-                        *keys,
-                        *[
-                            F.lit(None).cast(new_top.schema[c].dataType).alias(c)
-                            for c in cols
-                            if c not in keys
-                        ],
-                        F.lit(True).alias("_del"),
-                    ),
-                    allowMissingColumns=False,
-                )
-                return view.merge(
-                    batch,
-                    keys,
-                    epoch_id=epoch_id,
-                    delete_condition=F.col("_del"),
-                    drop_cols=("_del",),
-                )
-            finally:
-                new_top.unpersist()
-        finally:
-            dirty_groups.unpersist()
+
+        # clean groups: stored buffer ∪ positive images, re-ranked.
+        # In a clean group no positive image shares a key with a
+        # stored row (that key's pre-image would have dirtied it),
+        # so the union is key-unique by construction.
+        vclean = vtouched.join(F.broadcast(dirty_groups), on=gk, how="left_anti")
+        pclean = pos.join(F.broadcast(dirty_groups), on=gk, how="left_anti")
+        new_clean = topk(vclean.select(*cols).unionByName(pclean))
+        # dirty groups: back-fill from the post-epoch base, pruned
+        rescan = base_after.select(*cols).join(
+            F.broadcast(dirty_groups), on=gk, how="left_semi"
+        )
+        new_top = new_clean.unionByName(topk(rescan))
+        displaced = vtouched.select(*keys).join(
+            new_top.select(*keys), on=keys, how="left_anti"
+        )
+        batch = new_top.withColumn("_del", F.lit(False)).unionByName(
+            displaced.select(
+                *keys,
+                *[
+                    F.lit(None).cast(new_top.schema[c].dataType).alias(c)
+                    for c in cols
+                    if c not in keys
+                ],
+                F.lit(True).alias("_del"),
+            ),
+            allowMissingColumns=False,
+        )
+        return view.merge(
+            batch,
+            keys,
+            epoch_id=epoch_id,
+            delete_condition=F.col("_del"),
+            drop_cols=("_del",),
+        )
     finally:
-        vtouched.unpersist()
+        changes.unpersist()
 
 
 def delta_join(

@@ -2953,6 +2953,55 @@ def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe(idx.read(), qcells, k=10)
 
 
+def q_ann_ivf_inc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained-index scale layout made physical: same change
+    epoch as ``ann_ivf_incremental``, but the index lives
+    ``partitionBy("cell")`` (``CellPartitionedIvf``) and the epoch
+    rewrite touches ONLY the cells the changed vectors occupy — the
+    preimage vector locates each retracted row's partition because cell
+    assignment is a pure function of (vector, codebook), so no global
+    id index is needed. Probes plan as partition-pruned scans of the
+    probed cells. Shares ``ann_ivf_incremental``'s oracle: the layout
+    must be result-invisible."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.similarity import (
+        CellPartitionedIvf,
+        ivf_probe,
+        query_probe_cells,
+    )
+    from data_ingestion_resolution_platform_spark.sources.lake import snapshot_diff
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_ivf_incp_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vid = F.col("vec_id")
+    is_ins = F.pmod(vid, F.lit(17)) == 3
+    is_del = F.pmod(vid, F.lit(13)) == 2
+    is_upd = F.pmod(vid, F.lit(19)) == 1
+    v1 = emb.filter(~is_ins)
+    v2 = emb.filter(is_ins | ~is_del).select(
+        "vec_id",
+        F.when(~is_ins & ~is_del & is_upd, F.reverse("embedding"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    idx = CellPartitionedIvf(spark, root, portable=True)
+    idx.build(v1, "embedding", "vec_id", epoch_id="seed_v1")
+    idx.maintain(
+        snapshot_diff(v1, v2, ["vec_id"], include_preimages=True),
+        "embedding",
+        "vec_id",
+        epoch_id="inc_v2",
+    )
+    qcells = query_probe_cells(
+        v2.filter(vid < 5), "embedding", "vec_id", portable=True
+    )
+    cells = sorted(r.cell for r in qcells.select("cell").distinct().collect())
+    return ivf_probe(idx.read(cells), qcells, k=10)
+
+
 _EMB_V2_BASE_SQL = f"""SELECT vec_id,
          {_qv_of('''CASE WHEN vec_id % 17 <> 3 AND vec_id % 13 <> 2 AND vec_id % 19 = 1
               THEN list_reverse(embedding) ELSE embedding END''')} AS qv
@@ -4111,6 +4160,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_apply_changes": q_cdc_apply_changes,
     "pipeline_cdc_e2e": q_pipeline_cdc_e2e,
     # ======================= driver gate window ends =======================
+    # ann_ivf_inc_partitioned landed after the window filled: brand-new
+    # code with no driver row yet — FIRST in line for the round-5 window
+    # (it shares ann_ivf_incremental's oracle and is selfcheck-green at
+    # sf0.001/sf0.01 meanwhile).
+    "ann_ivf_inc_partitioned": q_ann_ivf_inc_partitioned,
     # Everything below has a GREEN driver row from CORRECTNESS_r03 and is
     # unchanged this round; rotates back into the window in round 5.
     "events_scd2": q_events_scd2,
@@ -4232,6 +4286,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf": _ivf_sql(),
     "ann_ivf_persisted": _ivf_sql(),
     "ann_ivf_incremental": _ivf_sql(base_sql=_EMB_V2_BASE_SQL),
+    "ann_ivf_inc_partitioned": _ivf_sql(base_sql=_EMB_V2_BASE_SQL),
     "ivm_distinct_count": SQL_IVM_DISTINCT,
     "ivm_minmax": SQL_IVM_MINMAX,
     "ivm_topk_view": SQL_IVM_TOPK,

@@ -266,6 +266,133 @@ def run_growth_sweep(parallelism: int, adaptive: bool) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_ivf_growth(parallelism: int) -> dict:
+    """Maintained-IVF growth sweep: does a FIXED change epoch's index
+    maintenance cost track the touched cells or the whole corpus?
+
+    Configuration mirrors how the index is operated at scale: n_cells
+    grows with the corpus so rows-per-cell stays bounded (the codebook
+    is a deterministic k-means-shaped cents dict, which routes cell
+    assignment through the Arrow/numpy backend at every size). The
+    epoch is held constant — 32 deletes + 32 inserts whose vectors are
+    copies of same-cell members, so it touches exactly ONE cell at
+    every corpus size. CellPartitionedIvf.maintain must therefore cost
+    ~the same at every size (reads + rewrites one bounded cell), while
+    the full rebuild arm grows with N — the measured gap IS the reason
+    the 100 TB deployment maintains instead of rebuilding."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_resolution_platform_spark.operators.similarity import (
+        CellPartitionedIvf,
+        ivf_kmeans_index,
+    )
+    from data_ingestion_resolution_platform_spark.session import get_spark
+
+    spark = get_spark("bench_ivf_growth", parallelism=parallelism)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base_n = base.count()
+    dim = len(base.select("embedding").first()[0])
+    reps = [int(x) for x in os.environ.get("SPARK_GRAFT_IVF_REPLICAS", "16,64,256").split(",")]
+    rows_per_cell = int(os.environ.get("SPARK_GRAFT_IVF_ROWS_PER_CELL", "2000"))
+    n_maintain = int(os.environ.get("SPARK_GRAFT_IVF_MAINTAIN_REPS", "3"))
+
+    def cents_for(n_cells: int) -> dict[int, list[int]]:
+        # deterministic quantized codebook (no training pass needed for
+        # a cost sweep; cell balance is rough but the epoch's target
+        # cell is measured, not assumed)
+        return {
+            j: [((j * 2654435761 + d * 40503) % 1201) - 600 for d in range(dim)]
+            for j in range(n_cells)
+        }
+
+    wh = tempfile.mkdtemp(
+        prefix="bench_ivfg_", dir=os.environ.get("SPARK_GRAFT_BENCH_DIR") or None
+    )
+    out: dict = {
+        "metric": "ivf_epoch_cost_vs_corpus_growth",
+        "base_rows": base_n,
+        "dim": dim,
+        "rows_per_cell_target": rows_per_cell,
+        "parallelism": parallelism,
+        "sizes": [],
+    }
+    try:
+        for k_rep in reps:
+            n = base_n * k_rep
+            n_cells = max(4, n // rows_per_cell)
+            cents = cents_for(n_cells)
+            corpus = base.withColumn(
+                "r", F.explode(F.sequence(F.lit(0), F.lit(k_rep - 1)))
+            ).select(
+                (F.col("vec_id") + F.col("r") * base_n).alias("vec_id"), "embedding"
+            )
+            # fixed epoch: the most-populated cell of the replica-0 slice
+            a0 = ivf_kmeans_index(base, cents, "embedding", "vec_id", n_cells)
+            target = (
+                a0.groupBy("cell").count().orderBy(F.col("count").desc(), "cell").first()
+            )
+            members = [
+                r.neighbor_id
+                for r in a0.filter(F.col("cell") == target.cell)
+                .orderBy("neighbor_id")
+                .limit(64)
+                .collect()
+            ]
+            dels, srcs = members[:32], members[32:64] or members[:32]
+            del_rows = base.filter(F.col("vec_id").isin(dels)).withColumn(
+                "change_type", F.lit("delete")
+            )
+            ins_rows = (
+                base.filter(F.col("vec_id").isin(srcs))
+                .withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+                .withColumn("change_type", F.lit("insert"))
+            )
+            changes = del_rows.unionByName(ins_rows).select(
+                "change_type", "vec_id", "embedding"
+            )
+            root = os.path.join(wh, f"ivf_{k_rep}")
+            idx = CellPartitionedIvf(spark, root, n_cells=n_cells, cents=cents)
+            t0 = time.time()
+            idx.build(corpus, "embedding", "vec_id", epoch_id="b")
+            rebuild_s = round(time.time() - t0, 3)
+            touched_rows = idx.read([target.cell]).count()
+            # untimed warmup apply: the first maintain of a session pays
+            # the Arrow worker-pool fork + codegen warmup (~10 s) that a
+            # live pipeline pays once, not per epoch
+            idx.maintain(changes, "embedding", "vec_id", epoch_id=None)
+            secs = []
+            for _ in range(n_maintain):
+                # epoch_id=None: the rewrite is idempotent, so re-applying
+                # measures the identical touched-cell read+rewrite cost
+                t0 = time.time()
+                idx.maintain(changes, "embedding", "vec_id", epoch_id=None)
+                secs.append(round(time.time() - t0, 3))
+            out["sizes"].append(
+                {
+                    "replicas": k_rep,
+                    "rows": n,
+                    "n_cells": n_cells,
+                    "target_cell": int(target.cell),
+                    "touched_rows": touched_rows,
+                    "rebuild_s": rebuild_s,
+                    "maintain_secs": secs,
+                    "maintain_median_s": sorted(secs)[len(secs) // 2],
+                }
+            )
+        s0, s1 = out["sizes"][0], out["sizes"][-1]
+        out["rebuild_growth"] = round(s1["rebuild_s"] / max(s0["rebuild_s"], 1e-9), 2)
+        out["maintain_growth"] = round(
+            s1["maintain_median_s"] / max(s0["maintain_median_s"], 1e-9), 2
+        )
+        out["corpus_growth"] = round(s1["rows"] / s0["rows"], 2)
+        return out
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def run_scd2_growth(parallelism: int) -> dict:
     """SCD2-history growth sweep (r3 verdict #7): does per-epoch
     historization cost track the OPEN set or the ACCUMULATED history?
@@ -746,6 +873,10 @@ def main() -> None:
 
     if "--scd2-growth" in sys.argv:
         print(json.dumps(run_scd2_growth(cpus)))
+        return
+
+    if "--ivf-growth" in sys.argv:
+        print(json.dumps(run_ivf_growth(cpus)))
         return
 
     if "--scaling" in sys.argv:

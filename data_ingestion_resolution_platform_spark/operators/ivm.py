@@ -269,10 +269,15 @@ def maintain_distinct(
             "_new", (F.coalesce(F.col("_old"), F.lit(0)) + F.col("_dmult")).cast("long")
         ).persist()
         try:
+            # SQL COUNT(DISTINCT) ignores NULL values: a NULL-valued
+            # multiplicity row still contributes to the row count (_dc)
+            # but never to the distinct count's zero crossings (_dd)
+            crossing = (F.col("_new") > 0).cast("int") - (
+                F.coalesce(F.col("_old"), F.lit(0)) > 0
+            ).cast("int")
             cdelta = j.groupBy(*key_list).agg(
                 F.sum(
-                    (F.col("_new") > 0).cast("int")
-                    - (F.coalesce(F.col("_old"), F.lit(0)) > 0).cast("int")
+                    F.when(F.col(value_col).isNotNull(), crossing).otherwise(F.lit(0))
                 ).cast("long").alias("_dd"),
                 F.sum("_dmult").cast("long").alias("_dc"),
             )
@@ -305,7 +310,13 @@ def maintain_distinct(
                 epoch_id=epoch_id,
                 delete_condition=F.col(count_alias) <= 0,
             )
-            mbatch = j.select(*mkeys, F.col("_new").alias("_mult"))
+            # NULL values stay OUT of the multiplicity table: they never
+            # move the distinct count, and a NULL inside a MERGE key
+            # would never equi-match its own row on redelivery (their
+            # row-count contribution already flowed through _dc above)
+            mbatch = j.filter(F.col(value_col).isNotNull()).select(
+                *mkeys, F.col("_new").alias("_mult")
+            )
             mult = mult_table.merge(
                 mbatch,
                 mkeys,

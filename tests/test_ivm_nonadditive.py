@@ -118,6 +118,34 @@ def test_maintain_distinct_redelivery_and_ledger_guard(spark, tmp_path):
         maintain_distinct(mult, counts, changes, ["repo"], "lang", epoch_id="e3")
 
 
+def test_maintain_distinct_null_values_follow_sql_semantics(spark, tmp_path):
+    # SQL COUNT(DISTINCT) ignores NULLs: null-valued rows count toward
+    # n_rows but never toward n_distinct, and they must not poison the
+    # multiplicity MERGE key (null never equi-matches itself)
+    v1 = spark.createDataFrame(
+        [("r1", "a", "py", 1), ("r1", "b", None, 2), ("r1", "c", None, 3)],
+        SCHEMA,
+    )
+    v2 = spark.createDataFrame(
+        [("r1", "a", "py", 1), ("r1", "b", None, 2), ("r1", "d", "rs", 4)],
+        SCHEMA,
+    )
+    mult = LakeTable(spark, str(tmp_path / "mult"))
+    counts = LakeTable(spark, str(tmp_path / "counts"))
+    e1 = v1.withColumn("change_type", F.lit("insert"))
+    maintain_distinct(mult, counts, e1, ["repo"], "lang", epoch_id="e1")
+    assert _rows(counts.read(), "repo", "n_distinct", "n_rows") == [("r1", 1, 3)]
+    changes = snapshot_diff(v1, v2, ["repo", "path"], include_preimages=True)
+    maintain_distinct(mult, counts, changes, ["repo"], "lang", epoch_id="e2")
+    # v2: langs {py, rs, NULL} -> 2 distinct, 3 rows
+    assert _rows(counts.read(), "repo", "n_distinct", "n_rows") == [("r1", 2, 3)]
+    # the multiplicity table holds only non-null values
+    assert _rows(mult.read(), "repo", "lang", "_mult") == [
+        ("r1", "py", 1),
+        ("r1", "rs", 1),
+    ]
+
+
 def test_maintain_minmax_matches_recompute(spark, tmp_path):
     v1, v2 = _snapshots(spark)
     t = LakeTable(spark, str(tmp_path / "mm"))

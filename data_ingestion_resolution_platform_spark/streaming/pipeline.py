@@ -89,6 +89,16 @@ class CDCPipeline:
     maintain_view: bool = False
     view_join_key: str = "repo"
     view_attrs: tuple[str, ...] = ("lang", "commit")
+    # opt-in incrementally-maintained per-group top-k read model
+    # (operators/ivm.py maintain_topk): the reference's paginated
+    # ORDER BY … LIMIT list endpoints as a continuously-fresh table.
+    # Group keys must be a prefix-subset of ``keys``; the ordering
+    # measure is precomputed into the view as ``lb_val`` so the stored
+    # buffer, the mini-CDF, and the back-fill all rank identically.
+    maintain_leaderboard: bool = False
+    leaderboard_keys: tuple[str, ...] = ("repo",)
+    leaderboard_order: str = "length(content)"
+    leaderboard_k: int = 3
 
     def __post_init__(self) -> None:
         if self.target_mode == "cow":
@@ -146,6 +156,11 @@ class CDCPipeline:
         else:
             self.view = None
             self.dim = None
+        self.leaderboard = (
+            LakeTable(self.spark, os.path.join(self.warehouse, "leaderboard"))
+            if self.maintain_leaderboard
+            else None
+        )
         self.checkpoint = os.path.join(self.warehouse, "_checkpoint")
 
     # -- batch core (shared by streaming + bounded replay) ---------------
@@ -214,6 +229,9 @@ class CDCPipeline:
                 # same pre-merge / own-ledger / convergent-retry
                 # contract as the stats (comment above)
                 self._maintain_view(resolved.winners, epoch)
+            if self.leaderboard is not None:
+                # same contract again (pre-merge, own ledger)
+                self._maintain_leaderboard(resolved.winners, epoch)
             if self.history is not None:
                 # SCD2 history from the RAW batch (every event is a
                 # potential version boundary, not just winners) —
@@ -363,6 +381,57 @@ class CDCPipeline:
             epoch_id=f"v{epoch}",
         )
 
+    def _leaderboard_proj(self):
+        gk = list(self.leaderboard_keys)
+        rk = [k for k in self.keys if k not in set(gk)]
+        lb_val = F.expr(self.leaderboard_order).cast("long").alias("lb_val")
+        return gk, rk, [*gk, *rk, lb_val]
+
+    def _maintain_leaderboard(self, winners: DataFrame, epoch: int) -> None:
+        """Advance the maintained per-``leaderboard_keys`` top-k view by
+        this epoch's delta (``operators/ivm.py maintain_topk``).
+
+        Same invertible mini-CDF as ``_maintain_stats``; runs pre-merge
+        on its own ledger for the same convergent-retry argument. The
+        back-fill base must be the POST-epoch state, but the physical
+        target merge happens after — so it is constructed LOGICALLY
+        (target minus batch keys, plus surviving winners), lazily: the
+        back-fill only evaluates it for groups a retraction dirtied,
+        semi-pruned inside maintain_topk."""
+        from data_ingestion_resolution_platform_spark.operators.ivm import maintain_topk
+
+        key_list = list(self.keys)
+        gk, rk, proj = self._leaderboard_proj()
+        post = winners.filter(F.col("op") != "D").select(
+            *proj, F.lit("update_postimage").alias("change_type")
+        )
+        if self.target.exists():
+            pre = (
+                self.target.read()
+                .join(F.broadcast(winners.select(*key_list)), on=key_list, how="left_semi")
+                .select(*proj, F.lit("update_preimage").alias("change_type"))
+            )
+            changes = pre.unionByName(post)
+            base_after = (
+                self.target.read()
+                .join(F.broadcast(winners.select(*key_list)), on=key_list, how="left_anti")
+                .select(*proj)
+                .unionByName(winners.filter(F.col("op") != "D").select(*proj))
+            )
+        else:
+            changes = post
+            base_after = winners.filter(F.col("op") != "D").select(*proj)
+        maintain_topk(
+            self.leaderboard,
+            changes,
+            base_after,
+            gk,
+            rk,
+            "lb_val",
+            k=self.leaderboard_k,
+            epoch_id=f"t{epoch}",
+        )
+
     def apply_dim_changes(self, s_changes: DataFrame, epoch_id: str | int) -> dict:
         """Advance the maintained view by a DIMENSION change epoch (an
         invertible :func:`sources.lake.snapshot_diff` feed over the dim:
@@ -482,6 +551,23 @@ class CDCPipeline:
                 list(self.history_attrs),
                 f"h_{epoch_id}",
             )
+        if self.leaderboard is not None:
+            # same argument as the stats seed: the next epoch's
+            # pre-images would dirty groups whose stored buffer the
+            # leaderboard never held
+            from pyspark.sql import Window
+
+            gk, rk, proj = self._leaderboard_proj()
+            w = Window.partitionBy(*gk).orderBy(
+                F.col("lb_val").desc(), *[F.col(c) for c in rk]
+            )
+            seed_lb = (
+                snapshot.select(*proj)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= self.leaderboard_k)
+                .drop("_rn")
+            )
+            self.leaderboard.merge(seed_lb, [*gk, *rk], epoch_id=f"t_{epoch_id}")
         if self.view is not None:
             # same argument as the stats seed: a snapshot-seeded target
             # with an empty view would make the next epoch's pre-images

@@ -2023,6 +2023,33 @@ FROM s GROUP BY repo
 """
 
 
+def q_pipeline_maintained_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-integrated top-k maintenance
+    (``CDCPipeline(maintain_leaderboard=True)``): the per-repo
+    top-3-largest-files read model advanced in lock-step with the LWW
+    target across 3 feed epochs — inserts absorbed by the stored
+    k-buffer, deletes/demotions back-filled from the logical post-state
+    pruned to the dirtied groups, all exactly-once on the view's own
+    ledger (``operators/ivm.py maintain_topk``). Shares
+    ``SQL_IVM_TOPK``'s oracle: the maintained leaderboard must converge
+    to the top-3 recomputed from the full-feed LWW state."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.streaming.pipeline import CDCPipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wh = f"/tmp/dirp_pipeline_lb_{tag}"
+    shutil.rmtree(wh, ignore_errors=True)
+    feed = _derived_code_feed(spark, sf_dir)
+    pipe = CDCPipeline(
+        spark, feed_dir="unused", warehouse=wh, maintain_leaderboard=True
+    )
+    pipe.replay_bounded(feed, epochs=3)
+    return pipe.leaderboard.read().select(
+        "repo", "path", F.col("lb_val").alias("nb")
+    )
+
+
 def q_cdc_conflict_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1-M3 as a driver-gated query: three lsn-ranged epochs of
     conflict detection over the derived code feed maintain a
@@ -4165,6 +4192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (it shares ann_ivf_incremental's oracle and is selfcheck-green at
     # sf0.001/sf0.01 meanwhile).
     "ann_ivf_inc_partitioned": q_ann_ivf_inc_partitioned,
+    "pipeline_maintained_leaderboard": q_pipeline_maintained_leaderboard,
     # Everything below has a GREEN driver row from CORRECTNESS_r03 and is
     # unchanged this round; rotates back into the window in round 5.
     "events_scd2": q_events_scd2,
@@ -4290,6 +4318,7 @@ ORACLES: dict[str, str] = {
     "ivm_distinct_count": SQL_IVM_DISTINCT,
     "ivm_minmax": SQL_IVM_MINMAX,
     "ivm_topk_view": SQL_IVM_TOPK,
+    "pipeline_maintained_leaderboard": SQL_IVM_TOPK,
     "dedup_embedding": _emb_lsh_sql(),
     "lake_prune_scan": SQL_PRUNE_SCAN,
     "bloom_prune_scan": SQL_BLOOM_PRUNE,

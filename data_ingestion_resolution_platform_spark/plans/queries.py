@@ -2605,6 +2605,76 @@ FROM s2 GROUP BY repo
 """
 
 
+def q_ivm_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained percentiles over a change feed: the multiplicity
+    histogram ``maintain_distinct`` already keeps per (repo, size) IS
+    sufficient state for exact discrete quantiles — advance it v1→v2
+    from the invertible feed, then read p50/p90 straight off the
+    histogram (``operators/ivm.py quantiles_from_multiplicity``: one
+    window over |groups × distinct sizes| rows, never the base). The
+    oracle recomputes the same percentile_disc definition (smallest
+    value whose rank reaches ceil(q·n)) from the expanded v2 LWW rows."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.ivm import (
+        maintain_distinct,
+        quantiles_from_multiplicity,
+    )
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = _two_epoch_code_lake(spark, sf_dir, f"/tmp/dirp_ivmp_src_{tag}")
+    mult_root = f"/tmp/dirp_ivmp_mult_{tag}"
+    cnt_root = f"/tmp/dirp_ivmp_cnt_{tag}"
+    shutil.rmtree(mult_root, ignore_errors=True)
+    shutil.rmtree(cnt_root, ignore_errors=True)
+    mult, cnt = LakeTable(spark, mult_root), LakeTable(spark, cnt_root)
+    nb = F.length("content").cast("long").alias("nb")
+    v1 = src.read(version=1).select("repo", "path", nb)
+    mult.merge(
+        v1.groupBy("repo", "nb").agg(F.count("*").cast("long").alias("_mult")),
+        ["repo", "nb"],
+        epoch_id="seed_v1",
+    )
+    cnt.merge(
+        v1.groupBy("repo").agg(
+            F.countDistinct("nb").cast("long").alias("n_distinct"),
+            F.count("*").cast("long").alias("n_rows"),
+        ),
+        ["repo"],
+        epoch_id="seed_v1",
+    )
+    changes = src.changelog(1, 2, ["repo", "path"], include_preimages=True).select(
+        "change_type", "repo", "path", nb
+    )
+    maintain_distinct(mult, cnt, changes, ["repo"], "nb", epoch_id="ivmp_v2")
+    return quantiles_from_multiplicity(
+        mult.read(), ["repo"], "nb", {"p50": 0.5, "p90": 0.9}
+    ).select("repo", "n_rows", "p50", "p90")
+
+
+SQL_IVM_PERCENTILES = f"""
+WITH feed AS ({_DERIVED_FEED_SQL}),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM feed
+), s2 AS (
+  SELECT repo, CAST(length(content) AS BIGINT) AS nb
+  FROM w WHERE rn = 1 AND op <> 'D'
+), r AS (
+  SELECT repo, nb,
+         row_number() OVER (PARTITION BY repo ORDER BY nb) AS rn2,
+         count(*) OVER (PARTITION BY repo) AS n
+  FROM s2
+)
+SELECT repo,
+       CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(min(CASE WHEN rn2 >= ceil(0.5 * n) THEN nb END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN rn2 >= ceil(0.9 * n) THEN nb END) AS BIGINT) AS p90
+FROM r GROUP BY repo
+"""
+
+
 def q_ivm_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally maintained per-group top-k read model (the
     reference's paginated ORDER BY … LIMIT list endpoints kept fresh):
@@ -4193,6 +4263,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sf0.001/sf0.01 meanwhile).
     "ann_ivf_inc_partitioned": q_ann_ivf_inc_partitioned,
     "pipeline_maintained_leaderboard": q_pipeline_maintained_leaderboard,
+    "ivm_percentiles": q_ivm_percentiles,
     # Everything below has a GREEN driver row from CORRECTNESS_r03 and is
     # unchanged this round; rotates back into the window in round 5.
     "events_scd2": q_events_scd2,
@@ -4319,6 +4390,7 @@ ORACLES: dict[str, str] = {
     "ivm_minmax": SQL_IVM_MINMAX,
     "ivm_topk_view": SQL_IVM_TOPK,
     "pipeline_maintained_leaderboard": SQL_IVM_TOPK,
+    "ivm_percentiles": SQL_IVM_PERCENTILES,
     "dedup_embedding": _emb_lsh_sql(),
     "lake_prune_scan": SQL_PRUNE_SCAN,
     "bloom_prune_scan": SQL_BLOOM_PRUNE,

@@ -284,6 +284,22 @@ def test_maintain_topk_demoting_update_backfills(spark, tmp_path):
     assert out == {"skipped": True, "epoch": "e2"}
 
 
+def test_quantiles_from_multiplicity_exact(spark):
+    from data_ingestion_resolution_platform_spark.operators.ivm import (
+        quantiles_from_multiplicity,
+    )
+
+    # histogram for g1: values 1x3, 5x1, 9x2 (n=6) -> p50 at rank>=3 is 1,
+    # p90 at rank>=ceil(5.4)=6 is 9; g2: single value
+    mult = spark.createDataFrame(
+        [("g1", 1, 3), ("g1", 5, 1), ("g1", 9, 2), ("g2", 7, 1)],
+        "g string, v long, _mult long",
+    )
+    out = quantiles_from_multiplicity(mult, ["g"], "v", {"p50": 0.5, "p90": 0.9})
+    rows = {r.g: (r.n_rows, r.p50, r.p90) for r in out.collect()}
+    assert rows == {"g1": (6, 1, 9), "g2": (1, 7, 7)}
+
+
 VEC_SCHEMA = "vec_id long, embedding array<float>"
 
 

@@ -4184,6 +4184,282 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# Mergeable sketches: KMV distinct + count-min frequency (round 4,
+# operators/sketch.py) — deterministic seeded hashes, so the DuckDB
+# oracle replicates every sketch bit-for-bit.
+# --------------------------------------------------------------------------
+
+_KMV_MIX_SQL = f"(p * {1_103_515_245} + {12_345}) % {_M31_SQL}"
+
+
+def _poly_scalar_sql(col: str, base: int = 131) -> str:
+    """DuckDB twin of functions/hashing.portable_poly_hash for a scalar
+    string column reference (must be a bare column name — it is
+    substituted three times)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({col}) + 1), "
+        f"i -> CAST(ascii(substring({col}, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(acc, x) -> (acc * {base} + x) % {_M31_SQL})"
+    )
+
+
+def q_sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state approximate COUNT(DISTINCT): per-priority KMV
+    sketch (k=256) of customer keys — the one-pass mergeable replacement
+    for the reference's full-rescan summary counts at 100 TB (the
+    sketch is 256 longs per group no matter the input size; the exact
+    twin is `ivm_distinct_count`'s multiplicity table). Emits the
+    sketch fill, the k-th minimum, and the (k-1)·M div v_k estimate —
+    integer arithmetic, engine-exact."""
+    from data_ingestion_resolution_platform_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    sk = kmv_sketch(orders, ["o_orderpriority"], "o_custkey", k=256)
+    return sk.select(
+        "o_orderpriority",
+        F.size("kmv").cast("long").alias("n_sketch"),
+        F.expr("CASE WHEN size(kmv) >= 256 THEN element_at(kmv, 256) END").alias(
+            "kth_min"
+        ),
+        kmv_estimate("kmv", 256).alias("est_distinct"),
+    )
+
+
+def _kmv_sql(
+    source_sql: str, group_col: str, value_expr: str, k: int, csv: bool = False
+) -> str:
+    """DuckDB KMV twin: distinct mixed hashes per group, windowed
+    bottom-k, identical integer estimator."""
+    num = (k - 1) * _M31_SQL
+    csv_col = (
+        ",\n       array_to_string(list(CAST(h AS VARCHAR) ORDER BY h) "
+        f"FILTER (WHERE rn <= {k}), '|') AS kmv_csv"
+        if csv
+        else ""
+    )
+    return f"""
+WITH v AS (
+  SELECT DISTINCT {group_col} AS g, coalesce(CAST({value_expr} AS VARCHAR), '') AS s
+  FROM ({source_sql})
+), h0 AS (
+  SELECT g, {_poly_scalar_sql('s')} AS p FROM v
+), h AS (
+  SELECT DISTINCT g, {_KMV_MIX_SQL} AS h FROM h0
+), r AS (
+  SELECT g, h,
+         row_number() OVER (PARTITION BY g ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM h
+)
+SELECT g AS {group_col},
+       CAST(least(max(n), {k}) AS BIGINT) AS n_sketch,
+       CAST(max(CASE WHEN rn = {k} THEN h END) AS BIGINT) AS kth_min,
+       CAST(CASE WHEN max(n) >= {k}
+                 THEN {num} // max(CASE WHEN rn = {k} THEN h END)
+                 ELSE max(n) END AS BIGINT) AS est_distinct{csv_col}
+FROM r GROUP BY g
+"""
+
+
+SQL_SKETCH_KMV = _kmv_sql(
+    "SELECT o_orderpriority, o_custkey FROM orders",
+    "o_orderpriority",
+    "o_custkey",
+    256,
+)
+
+
+def q_sketch_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV maintained per APPEND-ONLY ingest epoch: the derived code
+    feed is treated as an observation stream (every event observes one
+    (repo, commit)); two LSN-ranged epochs advance a persisted per-repo
+    sketch (k=64) via ``operators/sketch.maintain_kmv`` — union +
+    re-truncate reading only the touched groups' state, exactly-once
+    per the table's epoch ledger. Final sketch must equal the one-shot
+    build over the whole feed, which is the oracle (the full sketch
+    content is compared via ``kmv_csv``, not just the estimate)."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.sketch import (
+        kmv_estimate,
+        maintain_kmv,
+    )
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    feed = _derived_code_feed(spark, sf_dir)
+    thr = feed.agg(F.max("lsn")).collect()[0][0] // 2
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_kmvinc_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable(spark, root)
+    for e, part in enumerate(
+        [feed.filter(F.col("lsn") <= thr), feed.filter(F.col("lsn") > thr)], start=1
+    ):
+        maintain_kmv(
+            t,
+            part.withColumn("change_type", F.lit("insert")),
+            ["repo"],
+            "commit",
+            k=64,
+            epoch_id=e,
+        )
+    return t.read().select(
+        "repo",
+        F.size("kmv").cast("long").alias("n_sketch"),
+        F.expr("CASE WHEN size(kmv) >= 64 THEN element_at(kmv, 64) END").alias(
+            "kth_min"
+        ),
+        kmv_estimate("kmv", 64).alias("est_distinct"),
+        F.array_join(F.transform("kmv", lambda x: x.cast("string")), "|").alias(
+            "kmv_csv"
+        ),
+    )
+
+
+SQL_SKETCH_KMV_INC = _kmv_sql(
+    f'SELECT repo, "commit" FROM ({_DERIVED_FEED_SQL})',
+    "repo",
+    '"commit"',
+    64,
+    csv=True,
+)
+
+
+def _cms_sql_cells(depth: int, width: int) -> str:
+    """UNION ALL of per-depth cell builds over a CTE ``hh(item, p)``."""
+    from data_ingestion_resolution_platform_spark.operators.sketch import cms_seeds
+
+    parts = [
+        f"SELECT {d} AS d, ((p * {a} + {b}) % {_M31_SQL}) % {width} AS bucket, "
+        f"CAST(count(*) AS BIGINT) AS cnt FROM hh GROUP BY 1, 2"
+        for d, (a, b) in enumerate(cms_seeds(depth))
+    ]
+    return "\n  UNION ALL ".join(parts)
+
+
+def _cms_sql_probe(depth: int, width: int) -> str:
+    """Per-depth probe coordinates over a CTE ``cand(item, p)``."""
+    from data_ingestion_resolution_platform_spark.operators.sketch import cms_seeds
+
+    parts = [
+        f"SELECT item, {d} AS d, ((p * {a} + {b}) % {_M31_SQL}) % {width} AS bucket "
+        f"FROM cand"
+        for d, (a, b) in enumerate(cms_seeds(depth))
+    ]
+    return "\n  UNION ALL ".join(parts)
+
+
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters: frequency of (event_type, user decile)
+    traffic cells estimated from a 4×128 count-min grid — the sketch is
+    512 counters regardless of stream size, built with one map-side-
+    combining shuffle of ≤ depth·width keys. Emits every item whose CM
+    estimate clears the φN threshold (N div 55); CM never undercounts,
+    so no true heavy hitter is missed."""
+    from data_ingestion_resolution_platform_spark.operators.sketch import (
+        cms_cells,
+        cms_lookup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    item = F.concat(
+        F.col("event_type"), F.lit("/"), F.pmod(F.col("user_id"), F.lit(10)).cast("string")
+    )
+    items_df = ev.select(item.alias("item"))
+    cells = cms_cells(items_df, F.col("item"), depth=4, width=128)
+    est = cms_lookup(cells, items_df.distinct(), "item", depth=4, width=128)
+    thr = ev.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        est.crossJoin(F.broadcast(thr))  # 1-row scalar threshold
+        .filter(F.col("est_count") >= F.expr("n_total div 55"))
+        .select("item", "est_count")
+    )
+
+
+SQL_SKETCH_HH = f"""
+WITH it AS (
+  SELECT event_type || '/' || CAST(user_id % 10 AS VARCHAR) AS item FROM events
+), hh AS (
+  SELECT item, {_poly_scalar_sql('item')} AS p FROM it
+), cells AS (
+  {_cms_sql_cells(4, 128)}
+), cand AS (
+  SELECT DISTINCT item, p FROM hh
+), probes AS (
+  {_cms_sql_probe(4, 128)}
+), est AS (
+  SELECT item, min(coalesce(c.cnt, 0)) AS est_count
+  FROM probes LEFT JOIN cells c USING (d, bucket)
+  GROUP BY item
+)
+SELECT item, CAST(est_count AS BIGINT) AS est_count
+FROM est
+WHERE est_count >= (SELECT count(*) FROM events) // 55
+"""
+
+
+def q_ivm_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained count-min sketch: seed repo-frequency
+    cells (4×64) from the lake's v1 snapshot, advance them to v2 from
+    the INVERTIBLE change feed only (``operators/sketch.maintain_cms``
+    — counters are additive, so signed deltas keep the maintained
+    cells EXACTLY equal to a rebuild over the post-epoch state, deletes
+    and updates included; only the epoch's delta ever shuffles). The
+    oracle rebuilds the sketch from the v2 LWW state and probes the
+    same candidates."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.sketch import (
+        cms_cells,
+        cms_lookup,
+        maintain_cms,
+    )
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = _two_epoch_code_lake(spark, sf_dir, f"/tmp/dirp_cmss_src_{tag}")
+    root = f"/tmp/dirp_cmss_cells_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    cells_t = LakeTable(spark, root)
+    v1 = src.read(version=1)
+    cells_t.merge(
+        cms_cells(v1, F.col("repo"), depth=4, width=64),
+        ["d", "bucket"],
+        epoch_id="seed_v1",
+    )
+    changes = src.changelog(1, 2, ["repo", "path"], include_preimages=True)
+    maintain_cms(cells_t, changes, "repo", depth=4, width=64, epoch_id="cms_v2")
+    cand = src.read().select("repo").distinct()
+    return cms_lookup(cells_t.read(), cand, "repo", depth=4, width=64)
+
+
+SQL_IVM_CMS = f"""
+WITH feed AS ({_DERIVED_FEED_SQL}),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM feed
+), s2 AS (
+  SELECT repo FROM w WHERE rn = 1 AND op <> 'D'
+), hh AS (
+  SELECT repo AS item, {_poly_scalar_sql('repo')} AS p FROM s2
+), cells AS (
+  {_cms_sql_cells(4, 64)}
+), cand AS (
+  SELECT DISTINCT item, p FROM hh
+), probes AS (
+  {_cms_sql_probe(4, 64)}
+)
+SELECT item AS repo, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+FROM probes LEFT JOIN cells c USING (d, bucket)
+GROUP BY item
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4264,6 +4540,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_inc_partitioned": q_ann_ivf_inc_partitioned,
     "pipeline_maintained_leaderboard": q_pipeline_maintained_leaderboard,
     "ivm_percentiles": q_ivm_percentiles,
+    # Mergeable-sketch family (landed after the r4 window filled: new
+    # code with no driver row yet — queued with the three above for the
+    # round-5 window; selfcheck-green at sf0.001/sf0.01 meanwhile).
+    "sketch_distinct_kmv": q_sketch_distinct_kmv,
+    "sketch_kmv_incremental": q_sketch_kmv_incremental,
+    "sketch_heavy_hitters": q_sketch_heavy_hitters,
+    "ivm_cms_sketch": q_ivm_cms_sketch,
     # Everything below has a GREEN driver row from CORRECTNESS_r03 and is
     # unchanged this round; rotates back into the window in round 5.
     "events_scd2": q_events_scd2,
@@ -4391,6 +4674,10 @@ ORACLES: dict[str, str] = {
     "ivm_topk_view": SQL_IVM_TOPK,
     "pipeline_maintained_leaderboard": SQL_IVM_TOPK,
     "ivm_percentiles": SQL_IVM_PERCENTILES,
+    "sketch_distinct_kmv": SQL_SKETCH_KMV,
+    "sketch_kmv_incremental": SQL_SKETCH_KMV_INC,
+    "sketch_heavy_hitters": SQL_SKETCH_HH,
+    "ivm_cms_sketch": SQL_IVM_CMS,
     "dedup_embedding": _emb_lsh_sql(),
     "lake_prune_scan": SQL_PRUNE_SCAN,
     "bloom_prune_scan": SQL_BLOOM_PRUNE,

@@ -1396,6 +1396,59 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 watermarked stream-stream interval join under the driver
+    gate: purchases and clicks arrive as two INDEPENDENT file streams
+    (2 files/micro-batch each, so rows meet partners from other
+    micro-batches out of buffered state), inner-joined on user with a
+    1-hour event-time range — the attribution shape. Both sides carry
+    watermarks, which is what BOUNDS the join state at 100 TB: a
+    buffered click is evicted once the purchase-side watermark passes
+    its join window (state ∝ rate × (delay + range), never the stream
+    length). Here the delay exceeds the data span so nothing is
+    dropped and the availableNow drain equals the batch join exactly —
+    which is the oracle. Eviction-under-tight-watermark is pytest
+    territory (arrival order is controlled there; the gate needs
+    determinism)."""
+    purchases = (
+        _file_stream(spark, sf_dir, "ssj_p")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "3650 days")
+    )
+    clicks = (
+        _file_stream(spark, sf_dir, "ssj_c")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "3650 days")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("p_event_id", "c_event_id", "user_id")
+    return _run_to_memory(joined, "stream_ssj", "append")
+
+
+SQL_STREAM_SSJOIN = """
+SELECT p.event_id AS p_event_id, c.event_id AS c_event_id, p.user_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling + window frames: daily event counts per
     type with missing days ZERO-FILLED via a scaffold join (sequence-
@@ -4547,6 +4600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_kmv_incremental": q_sketch_kmv_incremental,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "ivm_cms_sketch": q_ivm_cms_sketch,
+    "stream_stream_join": q_stream_stream_join,
     # Everything below has a GREEN driver row from CORRECTNESS_r03 and is
     # unchanged this round; rotates back into the window in round 5.
     "events_scd2": q_events_scd2,
@@ -4678,6 +4732,7 @@ ORACLES: dict[str, str] = {
     "sketch_kmv_incremental": SQL_SKETCH_KMV_INC,
     "sketch_heavy_hitters": SQL_SKETCH_HH,
     "ivm_cms_sketch": SQL_IVM_CMS,
+    "stream_stream_join": SQL_STREAM_SSJOIN,
     "dedup_embedding": _emb_lsh_sql(),
     "lake_prune_scan": SQL_PRUNE_SCAN,
     "bloom_prune_scan": SQL_BLOOM_PRUNE,

@@ -84,3 +84,43 @@ def test_interval_join_drops_late_click_and_bounds_state(spark, tmp_path):
         & (F.col("c.ts") <= F.col("p.ts")),
     )
     assert batch.count() == 3
+
+
+def test_outer_interval_join_emits_null_match_on_expiry(spark, tmp_path):
+    """LEFT OUTER stream-stream join: an unmatched purchase is emitted
+    with a NULL click only once the watermark proves no matching click
+    can still arrive — the outer row is a statement about the future,
+    so it must wait for state expiry."""
+    pdir, cdir = str(tmp_path / "p"), str(tmp_path / "c")
+    os.makedirs(pdir), os.makedirs(cdir)
+    # batch 1: a purchase with no click anywhere near it
+    _write(spark, pdir, [(1, 1, "purchase", T(2026, 1, 1, 10, 0))])
+    _write(spark, cdir, [(10, 9, "click", T(2026, 1, 1, 10, 0))])
+    # batch 2: far-future traffic pushes the watermark past P1's window
+    _write(spark, pdir, [(2, 2, "purchase", T(2026, 1, 3, 10, 0))])
+    _write(spark, cdir, [(11, 2, "click", T(2026, 1, 3, 9, 55))])
+    # batch 3: padding so the (one-batch-lagged) expiry actually runs
+    _write(spark, cdir, [(12, 8, "click", T(2026, 1, 3, 9, 58))])
+
+    p, c = _stream(spark, pdir, "p"), _stream(spark, cdir, "c")
+    joined = p.join(
+        c,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("p_event_id", "c_event_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        tuple(r) for r in spark.table("ssj_outer").collect()
+    )
+    assert (2, 11) in got  # the matched pair
+    assert (1, None) in got  # the expired unmatched purchase, null-joined

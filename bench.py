@@ -700,6 +700,8 @@ HEADLINE = [
     # late round 4: non-additive IVM family
     "ivm_topk_view",
     "ann_ivf_incremental",
+    # final round-4 session: mergeable sketches
+    "sketch_distinct_kmv",
 ]
 
 

@@ -4512,6 +4512,54 @@ GROUP BY item
 """
 
 
+def q_pipeline_maintained_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-integrated count-min maintenance: replay the derived
+    change feed through the FULL engine with ``maintain_freq=True`` —
+    each epoch advances the 4×32 lang-frequency cells from the batch's
+    own pre/post mini-CDF (pre-merge, own ledger, convergent retries),
+    the target never rescanned. The result probes the sketch for every
+    lang in the final state; the oracle rebuilds the cells from the
+    pure-SQL LWW collapse and probes identically — exact equality
+    because CM counters are additive under signed deltas."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.sketch import cms_lookup
+    from data_ingestion_resolution_platform_spark.streaming.pipeline import CDCPipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wh = f"/tmp/dirp_pipeline_freq_{tag}"
+    shutil.rmtree(wh, ignore_errors=True)
+    feed = _derived_code_feed(spark, sf_dir)
+    pipe = CDCPipeline(
+        spark, feed_dir="unused", warehouse=wh, maintain_freq=True, freq_width=32
+    )
+    pipe.replay_bounded(feed, epochs=3)
+    cand = pipe.target.read().select("lang").distinct()
+    return cms_lookup(pipe.freq.read(), cand, "lang", depth=4, width=32)
+
+
+SQL_PIPELINE_FREQ = f"""
+WITH feed AS ({_DERIVED_FEED_SQL}),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM feed
+), s2 AS (
+  SELECT lang FROM w WHERE rn = 1 AND op <> 'D'
+), hh AS (
+  SELECT lang AS item, {_poly_scalar_sql('lang')} AS p FROM s2
+), cells AS (
+  {_cms_sql_cells(4, 32)}
+), cand AS (
+  SELECT DISTINCT item, p FROM hh
+), probes AS (
+  {_cms_sql_probe(4, 32)}
+)
+SELECT item AS lang, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+FROM probes LEFT JOIN cells c USING (d, bucket)
+GROUP BY item
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4601,6 +4649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "ivm_cms_sketch": q_ivm_cms_sketch,
     "stream_stream_join": q_stream_stream_join,
+    "pipeline_maintained_freq": q_pipeline_maintained_freq,
     # Everything below has a GREEN driver row from CORRECTNESS_r03 and is
     # unchanged this round; rotates back into the window in round 5.
     "events_scd2": q_events_scd2,
@@ -4733,6 +4782,7 @@ ORACLES: dict[str, str] = {
     "sketch_heavy_hitters": SQL_SKETCH_HH,
     "ivm_cms_sketch": SQL_IVM_CMS,
     "stream_stream_join": SQL_STREAM_SSJOIN,
+    "pipeline_maintained_freq": SQL_PIPELINE_FREQ,
     "dedup_embedding": _emb_lsh_sql(),
     "lake_prune_scan": SQL_PRUNE_SCAN,
     "bloom_prune_scan": SQL_BLOOM_PRUNE,

@@ -99,6 +99,18 @@ class CDCPipeline:
     leaderboard_keys: tuple[str, ...] = ("repo",)
     leaderboard_order: str = "length(content)"
     leaderboard_k: int = 3
+    # opt-in incrementally-maintained count-min frequency sketch
+    # (operators/sketch.py maintain_cms): bounded-state "how often does
+    # X occur in the current table" point queries without ever scanning
+    # the target — the sketch is depth×width counters regardless of
+    # table size, and the counters advance from the same invertible
+    # mini-CDF as the stats (CM counters are additive, so the
+    # maintained cells EXACTLY equal a rebuild over the post-epoch
+    # state, deletes and updates included).
+    maintain_freq: bool = False
+    freq_item: str = "lang"
+    freq_depth: int = 4
+    freq_width: int = 128
 
     def __post_init__(self) -> None:
         if self.target_mode == "cow":
@@ -159,6 +171,11 @@ class CDCPipeline:
         self.leaderboard = (
             LakeTable(self.spark, os.path.join(self.warehouse, "leaderboard"))
             if self.maintain_leaderboard
+            else None
+        )
+        self.freq = (
+            LakeTable(self.spark, os.path.join(self.warehouse, "freq"))
+            if self.maintain_freq
             else None
         )
         self.checkpoint = os.path.join(self.warehouse, "_checkpoint")
@@ -232,6 +249,9 @@ class CDCPipeline:
             if self.leaderboard is not None:
                 # same contract again (pre-merge, own ledger)
                 self._maintain_leaderboard(resolved.winners, epoch)
+            if self.freq is not None:
+                # same contract again (pre-merge, own ledger)
+                self._maintain_freq(resolved.winners, epoch)
             if self.history is not None:
                 # SCD2 history from the RAW batch (every event is a
                 # potential version boundary, not just winners) —
@@ -326,6 +346,44 @@ class CDCPipeline:
             {"total_bytes": "length(content)"},
             epoch_id=f"m{epoch}",
             count_alias="n_paths",
+        )
+
+    def _maintain_freq(self, winners: DataFrame, epoch: int) -> None:
+        """Advance the maintained count-min cells by this epoch's delta
+        (``operators/sketch.py maintain_cms``).
+
+        Same invertible mini-CDF as ``_maintain_stats`` (pre-images =
+        current target rows for the batch keys via ONE broadcast
+        semi-join, post-images = surviving winners; unchanged
+        re-deliveries cancel exactly), same pre-merge / own-ledger /
+        convergent-retry contract. Only the epoch's delta ever shuffles
+        — ≤ depth·|batch| exploded rows combining to ≤ depth·width
+        cells."""
+        from data_ingestion_resolution_platform_spark.operators.sketch import (
+            maintain_cms,
+        )
+
+        key_list = list(self.keys)
+        cols = [*key_list, "commit", "lang", "content"]
+        post = winners.filter(F.col("op") != "D").select(
+            *cols, F.lit("update_postimage").alias("change_type")
+        )
+        if self.target.exists():
+            pre = (
+                self.target.read()
+                .join(F.broadcast(winners.select(*key_list)), on=key_list, how="left_semi")
+                .select(*cols, F.lit("update_preimage").alias("change_type"))
+            )
+            cdf = pre.unionByName(post)
+        else:
+            cdf = post
+        maintain_cms(
+            self.freq,
+            cdf,
+            self.freq_item,
+            depth=self.freq_depth,
+            width=self.freq_width,
+            epoch_id=f"f{epoch}",
         )
 
     def seed_dim(self, dim: DataFrame, epoch_id: str = "dim_seed") -> dict:
@@ -568,6 +626,21 @@ class CDCPipeline:
                 .drop("_rn")
             )
             self.leaderboard.merge(seed_lb, [*gk, *rk], epoch_id=f"t_{epoch_id}")
+        if self.freq is not None:
+            # same argument as the stats seed: the next epoch's
+            # pre-images would decrement cells the sketch never counted
+            from data_ingestion_resolution_platform_spark.operators.sketch import (
+                maintain_cms,
+            )
+
+            maintain_cms(
+                self.freq,
+                snapshot.withColumn("change_type", F.lit("insert")),
+                self.freq_item,
+                depth=self.freq_depth,
+                width=self.freq_width,
+                epoch_id=f"f_{epoch_id}",
+            )
         if self.view is not None:
             # same argument as the stats seed: a snapshot-seeded target
             # with an empty view would make the next epoch's pre-images

@@ -4623,21 +4623,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_minmax": q_ivm_minmax,
     "ann_ivf_incremental": q_ann_ivf_incremental,
     "ivm_topk_view": q_ivm_topk_view,
-    # -- flagship core kept under the gate every round -------------------
-    # (late-r4 amendment: pipeline_maintained_stats / events_scd2_asof /
-    # stream_tumbling / events_scd2 moved just below the line to make room
-    # for the four NEW non-additive-IVM queries — unlike the 37 rotated
-    # entries above, those four already HAVE a green r03 driver row, and
-    # the round-4 SCD2 store change is gate-covered by scd2_incremental +
-    # pipeline_scd2_history, so every registry query still ends round 4
-    # with a hard row from r3 or r4)
+    # -- final-r4-session sketch family: hard first rows ------------------
+    # (second late-r4 amendment, same trade as the first: the two
+    # flagship entries cdc_apply_changes / pipeline_cdc_e2e move just
+    # below the line — both hold GREEN r03 driver rows, the driver's
+    # entry() smoke-check still runs cdc_apply_changes every round, and
+    # the in-window cdc_bootstrap_handoff + pipeline_scd2_history +
+    # pipeline_maintained_view keep the full pipeline under the gate —
+    # in exchange the two most integration-heavy NEW sketch queries get
+    # their first hard row this round. Every registry query still ends
+    # round 4 with a hard row from r3 or r4, except the brand-new
+    # below-window entries explicitly queued for round 5.)
+    "ivm_cms_sketch": q_ivm_cms_sketch,
+    "pipeline_maintained_freq": q_pipeline_maintained_freq,
+    # ======================= driver gate window ends =======================
     "cdc_apply_changes": q_cdc_apply_changes,
     "pipeline_cdc_e2e": q_pipeline_cdc_e2e,
-    # ======================= driver gate window ends =======================
     # ann_ivf_inc_partitioned landed after the window filled: brand-new
     # code with no driver row yet — FIRST in line for the round-5 window
     # (it shares ann_ivf_incremental's oracle and is selfcheck-green at
-    # sf0.001/sf0.01 meanwhile).
+    # sf0.001/sf0.01 meanwhile; the remaining sketch-family queries
+    # sketch_distinct_kmv / sketch_kmv_incremental / sketch_heavy_hitters
+    # and stream_stream_join are queued right behind it).
     "ann_ivf_inc_partitioned": q_ann_ivf_inc_partitioned,
     "pipeline_maintained_leaderboard": q_pipeline_maintained_leaderboard,
     "ivm_percentiles": q_ivm_percentiles,
@@ -4647,9 +4654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_distinct_kmv": q_sketch_distinct_kmv,
     "sketch_kmv_incremental": q_sketch_kmv_incremental,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
-    "ivm_cms_sketch": q_ivm_cms_sketch,
     "stream_stream_join": q_stream_stream_join,
-    "pipeline_maintained_freq": q_pipeline_maintained_freq,
     # Everything below has a GREEN driver row from CORRECTNESS_r03 and is
     # unchanged this round; rotates back into the window in round 5.
     "events_scd2": q_events_scd2,

@@ -55,8 +55,14 @@ MUST_BE_GATED = {
     # invariant holds
     "ivm_distinct_count", "ivm_minmax", "ann_ivf_incremental",
     "ivm_topk_view",
-    # flagship core stays gated every round
-    "cdc_apply_changes", "pipeline_cdc_e2e",
+    # final-r4-session sketch-family integration queries (brand-new
+    # code, first hard row); the flagship cdc_apply_changes /
+    # pipeline_cdc_e2e moved just below the line for these — both keep
+    # their green r03 rows, entry() still smoke-runs cdc_apply_changes
+    # every round, and the pipeline stays gated via
+    # cdc_bootstrap_handoff / pipeline_scd2_history /
+    # pipeline_maintained_view
+    "ivm_cms_sketch", "pipeline_maintained_freq",
 }
 
 

@@ -393,6 +393,101 @@ def run_ivf_growth(parallelism: int) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_cms_growth(parallelism: int) -> dict:
+    """Maintained-sketch growth sweep: does a FIXED change epoch's
+    count-min maintenance cost track the epoch or the corpus?
+
+    The sketch state is depth×width cells at every corpus size, so the
+    comparison isolates the two plan shapes: REBUILD scans the whole
+    corpus (O(N) — explode ×depth, map-side combine down to the grid),
+    while MAINTAIN aggregates only the epoch's signed delta and
+    MERGEs the touched cells (O(Δ + grid)). The epoch is held constant
+    (1k update pre/post pairs with net-zero cell effect, so repeated
+    applies measure the identical touched-cell read+rewrite cost); the
+    measured gap is the reason the 100 TB deployment maintains the
+    sketch per CDF epoch instead of recounting."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_resolution_platform_spark.operators.sketch import (
+        cms_cells,
+        maintain_cms,
+    )
+    from data_ingestion_resolution_platform_spark.session import get_spark
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    spark = get_spark("bench_cms_growth", parallelism=parallelism)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    )
+    base_n = base.count()
+    item = "concat(event_type, '/', cast(pmod(user_id, 100) as string))"
+    depth, width = 4, 256
+    reps = [int(x) for x in os.environ.get("SPARK_GRAFT_CMS_REPLICAS", "1,4,16").split(",")]
+    n_maintain = int(os.environ.get("SPARK_GRAFT_CMS_MAINTAIN_REPS", "3"))
+    epoch_rows = base.orderBy("event_id").limit(1000)
+    changes = (
+        epoch_rows.withColumn("change_type", F.lit("update_preimage"))
+        .unionByName(epoch_rows.withColumn("change_type", F.lit("update_postimage")))
+        .persist()
+    )
+    changes.count()
+    wh = tempfile.mkdtemp(
+        prefix="bench_cmsg_", dir=os.environ.get("SPARK_GRAFT_BENCH_DIR") or None
+    )
+    out: dict = {
+        "metric": "cms_epoch_cost_vs_corpus_growth",
+        "base_rows": base_n,
+        "depth": depth,
+        "width": width,
+        "epoch_rows": 1000,
+        "parallelism": parallelism,
+        "sizes": [],
+    }
+    try:
+        for k_rep in reps:
+            corpus = base.withColumn(
+                "r", F.explode(F.sequence(F.lit(0), F.lit(k_rep - 1)))
+            ).drop("r")
+            t = LakeTable(spark, os.path.join(wh, f"cms_{k_rep}"))
+            t0 = time.time()
+            t.merge(
+                cms_cells(corpus, F.expr(item), depth, width),
+                ["d", "bucket"],
+                epoch_id="seed",
+            )
+            rebuild_s = round(time.time() - t0, 3)
+            # untimed warmup apply (codegen + worker warmup, paid once)
+            maintain_cms(t, changes, item, depth, width, epoch_id=None)
+            secs = []
+            for _ in range(n_maintain):
+                # net-zero epoch: state-invariant, so each apply measures
+                # the identical delta-agg + touched-cell MERGE cost
+                t0 = time.time()
+                maintain_cms(t, changes, item, depth, width, epoch_id=None)
+                secs.append(round(time.time() - t0, 3))
+            out["sizes"].append(
+                {
+                    "replicas": k_rep,
+                    "rows": base_n * k_rep,
+                    "cells": t.read().count(),
+                    "rebuild_s": rebuild_s,
+                    "maintain_secs": secs,
+                    "maintain_median_s": sorted(secs)[len(secs) // 2],
+                }
+            )
+        s0, s1 = out["sizes"][0], out["sizes"][-1]
+        out["rebuild_growth"] = round(s1["rebuild_s"] / max(s0["rebuild_s"], 1e-9), 2)
+        out["maintain_growth"] = round(
+            s1["maintain_median_s"] / max(s0["maintain_median_s"], 1e-9), 2
+        )
+        out["corpus_growth"] = round(s1["rows"] / s0["rows"], 2)
+        return out
+    finally:
+        changes.unpersist()
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def run_scd2_growth(parallelism: int) -> dict:
     """SCD2-history growth sweep (r3 verdict #7): does per-epoch
     historization cost track the OPEN set or the ACCUMULATED history?
@@ -879,6 +974,10 @@ def main() -> None:
 
     if "--ivf-growth" in sys.argv:
         print(json.dumps(run_ivf_growth(cpus)))
+        return
+
+    if "--cms-growth" in sys.argv:
+        print(json.dumps(run_cms_growth(cpus)))
         return
 
     if "--scaling" in sys.argv:

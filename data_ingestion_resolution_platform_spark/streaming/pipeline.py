@@ -107,6 +107,9 @@ class CDCPipeline:
     # mini-CDF as the stats (CM counters are additive, so the
     # maintained cells EXACTLY equal a rebuild over the post-epoch
     # state, deletes and updates included).
+    # ``freq_item`` is a SQL expression over the key + payload attribute
+    # columns (repo, path, commit, lang, content) — the mini-CDF
+    # projects exactly those.
     maintain_freq: bool = False
     freq_item: str = "lang"
     freq_depth: int = 4

@@ -237,7 +237,9 @@ def cms_lookup(
 ) -> DataFrame:
     """Point-query the sketch for each candidate row in ``items``:
     ``est = min over d of cell count`` (missing cell = 0). The cell
-    table is ≤ depth·width rows ⇒ broadcast; candidates never shuffle.
+    table is ≤ depth·width rows ⇒ broadcast, so the join never
+    shuffles the candidates; the only shuffle is the final min-agg
+    over depth·|items| rows (map-side combining).
     """
     probes = items.select(
         item_col,

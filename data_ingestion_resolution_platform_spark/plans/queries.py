@@ -4512,6 +4512,63 @@ GROUP BY item
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analytics: per user, the first view, the first
+    click AT OR AFTER that view, and the first purchase at or after
+    that click — sequential pattern matching expressed as THREE
+    chained window minima over ONE user partitioning (Catalyst plans a
+    single hash-partition exchange reused by all three Window nodes:
+    no per-stage shuffle, no self-joins). Emits users-reaching-stage
+    counts — the funnel report a 100 TB events table answers with one
+    shuffle of (user, ts, type)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    v = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("_v", v)
+    c = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("_v")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("_c", c)
+    p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("_c")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("_p", p)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("_v").alias("v"), F.max("_c").alias("c"), F.max("_p").alias("p")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("v").cast("long").alias("n_viewed"),
+        F.count("c").cast("long").alias("n_clicked_after_view"),
+        F.count("p").cast("long").alias("n_purchased_after_click"),
+    )
+
+
+SQL_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS v
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(CASE WHEN e.event_type = 'click' AND e.ts >= v.v THEN e.ts END) AS c
+  FROM events e JOIN v USING (user_id) GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.c THEN e.ts END) AS p
+  FROM events e JOIN c USING (user_id) GROUP BY e.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(v.v) AS BIGINT) AS n_viewed,
+       CAST(count(c.c) AS BIGINT) AS n_clicked_after_view,
+       CAST(count(p.p) AS BIGINT) AS n_purchased_after_click
+FROM v JOIN c USING (user_id) JOIN p USING (user_id)
+"""
+
+
 def q_pipeline_maintained_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline-integrated count-min maintenance: replay the derived
     change feed through the FULL engine with ``maintain_freq=True`` —
@@ -4655,6 +4712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_kmv_incremental": q_sketch_kmv_incremental,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "stream_stream_join": q_stream_stream_join,
+    "funnel_conversion": q_funnel_conversion,
     # Everything below has a GREEN driver row from CORRECTNESS_r03 and is
     # unchanged this round; rotates back into the window in round 5.
     "events_scd2": q_events_scd2,
@@ -4787,6 +4845,7 @@ ORACLES: dict[str, str] = {
     "sketch_heavy_hitters": SQL_SKETCH_HH,
     "ivm_cms_sketch": SQL_IVM_CMS,
     "stream_stream_join": SQL_STREAM_SSJOIN,
+    "funnel_conversion": SQL_FUNNEL,
     "pipeline_maintained_freq": SQL_PIPELINE_FREQ,
     "dedup_embedding": _emb_lsh_sql(),
     "lake_prune_scan": SQL_PRUNE_SCAN,

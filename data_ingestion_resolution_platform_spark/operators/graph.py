@@ -184,3 +184,62 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact global triangle count via degree-oriented wedge joins —
+    the node-iterator++ / forward algorithm (Schank & Wagner 2005).
+
+    The naive 3-way self-join explodes on hubs (a node of degree d
+    contributes d² wedges). Orienting every undirected edge from the
+    LOWER (degree, id) endpoint to the higher bounds each node's
+    out-degree by O(√m), so the wedge join materializes O(m^1.5)
+    rows worst-case instead of Σd² — the difference between a plan
+    that survives a social-graph hub and one that dies on it. Each
+    triangle {x<y<z} under the (degree, id) total order is counted
+    exactly once: x holds both out-edges, and the closing edge is
+    oriented y→z.
+
+    Plan: dedupe to undirected (a<b) pairs (one combining shuffle),
+    one degree aggregation, two broadcast-or-shuffle equi-joins for
+    orientation, then wedge self-join + closing-edge semi-equi-join.
+    Returns ONE row: ``n_triangles, n_edges`` — nothing collects.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # total-order key: degree-major, id-minor (ids are assumed to fit
+    # alongside the degree in a long — true for any realistic id space
+    # since deg < 2^31 and id < 2^31 here; swap to a struct compare if not)
+    ordv = (F.col("deg") * F.lit(1 << 31) + F.col("node")).alias("ov")
+    dk = deg.select("node", ordv)
+    w = (
+        und.join(dk.withColumnRenamed("node", "a").withColumnRenamed("ov", "ov_a"), "a")
+        .join(dk.withColumnRenamed("node", "b").withColumnRenamed("ov", "ov_b"), "b")
+    )
+    oriented = w.select(
+        F.when(F.col("ov_a") < F.col("ov_b"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("ov_a") < F.col("ov_b"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(F.col("ov_a") < F.col("ov_b"), F.col("ov_b")).otherwise(F.col("ov_a")).alias("ov_v"),
+    )
+    e1 = oriented.select("u", F.col("v").alias("y"), F.col("ov_v").alias("ov_y"))
+    e2 = oriented.select("u", F.col("v").alias("z"), F.col("ov_v").alias("ov_z"))
+    wedges = e1.join(e2, "u").filter(F.col("ov_y") < F.col("ov_z")).select("y", "z")
+    closing = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = wedges.join(closing, ["y", "z"], "inner")
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")).crossJoin(
+        F.broadcast(und.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+    )

@@ -4512,6 +4512,41 @@ GROUP BY item
 """
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the deterministic customer graph (same
+    edge derivation as `pagerank`): degree-oriented wedge joins
+    (``operators/graph.py triangle_count``) — orientation bounds
+    per-node wedge fan-out by O(√m), the plan that survives hub nodes
+    at 100 TB where the naive 3-way self-join dies. The oracle is the
+    textbook a<b<c three-way SQL self-join (orientation-free — same
+    count, exponentially worse hub behavior, fine at oracle scale)."""
+    from data_ingestion_resolution_platform_spark.operators.graph import triangle_count
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    n_df = cust.agg(F.count("*").alias("__n"))
+    edges = orders.crossJoin(F.broadcast(n_df)).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") * 7 % F.col("__n")).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
+SQL_TRIANGLES = """
+WITH n AS (SELECT count(*) AS nc FROM customer),
+e0 AS (SELECT o_custkey AS x, (o_orderkey * 7) % nc AS y FROM orders, n),
+e AS (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+  FROM e0 WHERE x <> y
+)
+SELECT (SELECT CAST(count(*) AS BIGINT)
+        FROM e ab JOIN e ac ON ab.a = ac.a AND ab.b < ac.b
+                  JOIN e bc ON bc.a = ab.b AND bc.b = ac.b) AS n_triangles,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM e
+"""
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel analytics: per user, the first view, the first
     click AT OR AFTER that view, and the first purchase at or after
@@ -4713,6 +4748,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "stream_stream_join": q_stream_stream_join,
     "funnel_conversion": q_funnel_conversion,
+    "triangle_count": q_triangle_count,
     # Everything below has a GREEN driver row from CORRECTNESS_r03 and is
     # unchanged this round; rotates back into the window in round 5.
     "events_scd2": q_events_scd2,
@@ -4846,6 +4882,7 @@ ORACLES: dict[str, str] = {
     "ivm_cms_sketch": SQL_IVM_CMS,
     "stream_stream_join": SQL_STREAM_SSJOIN,
     "funnel_conversion": SQL_FUNNEL,
+    "triangle_count": SQL_TRIANGLES,
     "pipeline_maintained_freq": SQL_PIPELINE_FREQ,
     "dedup_embedding": _emb_lsh_sql(),
     "lake_prune_scan": SQL_PRUNE_SCAN,

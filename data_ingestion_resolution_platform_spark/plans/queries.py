@@ -4512,6 +4512,47 @@ GROUP BY item
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted in each later week they were active — (cohort, offset) →
+    n_users. Two combining aggregations plus one user-keyed join (the
+    per-user cohort frame is dimension-sized here ⇒ AQE broadcasts it;
+    at 100 TB it shuffle-joins on the same user hash as the distinct,
+    so the exchange is reused). Week arithmetic is integer-exact in
+    both engines (Monday-truncated dates, datediff/7)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("WEEK", F.col("ts"))).alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = ev.distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+SQL_COHORT = """
+WITH wkk AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+), first AS (
+  SELECT user_id, min(wk) AS cohort FROM wkk GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, wk FROM wkk
+)
+SELECT cohort,
+       CAST(date_diff('day', cohort, wk) / 7 AS INT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count over the deterministic customer graph (same
     edge derivation as `pagerank`): degree-oriented wedge joins
@@ -4749,6 +4790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_stream_join": q_stream_stream_join,
     "funnel_conversion": q_funnel_conversion,
     "triangle_count": q_triangle_count,
+    "cohort_retention": q_cohort_retention,
     # Everything below has a GREEN driver row from CORRECTNESS_r03 and is
     # unchanged this round; rotates back into the window in round 5.
     "events_scd2": q_events_scd2,
@@ -4883,6 +4925,7 @@ ORACLES: dict[str, str] = {
     "stream_stream_join": SQL_STREAM_SSJOIN,
     "funnel_conversion": SQL_FUNNEL,
     "triangle_count": SQL_TRIANGLES,
+    "cohort_retention": SQL_COHORT,
     "pipeline_maintained_freq": SQL_PIPELINE_FREQ,
     "dedup_embedding": _emb_lsh_sql(),
     "lake_prune_scan": SQL_PRUNE_SCAN,

@@ -65,3 +65,41 @@ def test_freq_sketch_bootstrap_handoff(spark, tmp_path):
     assert _as_set(pipe.freq.read()) == _as_set(_rebuild(pipe))
     pipe.replay_bounded(feed.filter(F.col("lsn") > thr), epochs=1, epoch_offset=1)
     assert _as_set(pipe.freq.read()) == _as_set(_rebuild(pipe))
+
+
+def test_freq_sketch_converges_when_target_merge_crashes(spark, tmp_path, monkeypatch):
+    """The pre-merge / own-ledger ordering contract: if the freq MERGE
+    commits but the TARGET merge then crashes, redelivering the epoch
+    must skip the already-committed freq epoch (no double-subtract of
+    pre-images) and still land the target — final state of both tables
+    identical to the no-crash run."""
+    feed = synth_change_feed(spark, n_events=1500, n_repos=6, seed=3, partitions=4)
+    thr = feed.agg(F.max("lsn")).collect()[0][0] // 2
+    pipe = CDCPipeline(
+        spark,
+        feed_dir="unused",
+        warehouse=str(tmp_path / "wh"),
+        maintain_freq=True,
+        freq_width=32,
+    )
+    pipe.replay_bounded(feed.filter(F.col("lsn") <= thr), epochs=1)
+
+    # crash the target merge AFTER the freq maintainer has committed
+    real_merge = type(pipe.target).merge
+
+    def boom(self, *a, **k):
+        raise RuntimeError("injected target-merge crash")
+
+    monkeypatch.setattr(type(pipe.target), "merge", boom)
+    try:
+        pipe.replay_bounded(feed.filter(F.col("lsn") > thr), epochs=1, epoch_offset=1)
+        raise AssertionError("expected the injected crash to propagate")
+    except RuntimeError as e:
+        assert "injected" in str(e)
+    finally:
+        monkeypatch.setattr(type(pipe.target), "merge", real_merge)
+
+    # freq epoch committed during the crashed attempt; redelivery must
+    # converge, not double-apply
+    pipe.replay_bounded(feed.filter(F.col("lsn") > thr), epochs=1, epoch_offset=1)
+    assert _as_set(pipe.freq.read()) == _as_set(_rebuild(pipe))

@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship CDC apply-changes query at sf0.001;
 ``queries()`` / ``oracle_sql()`` expose the full registry from
 ``data_ingestion_resolution_platform_spark.plans.queries`` — since
-round 4 every registered query (107/107) has a DuckDB oracle twin; no
+round 4 every registered query (108/108) has a DuckDB oracle twin; no
 rows-only entries remain.
 """
 

@@ -4512,6 +4512,53 @@ GROUP BY item
 """
 
 
+def q_dpp_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (J4 at runtime): the event fact table
+    is STORED partitioned by day; the day dimension is filtered at
+    query time (every third day-of-epoch), and Catalyst injects the
+    dim's day set as a runtime partition filter into the fact scan —
+    only the selected day directories are read, without the filter
+    ever being written against the fact. At 100 TB this is the
+    difference between scanning 2/7 of the table and all of it
+    whenever the selective predicate lives on the dimension.
+    ``tests/test_dpp.py`` pins the plan (``dynamicpruning`` in the
+    fact scan's partition filters); the oracle is the plain join."""
+    import shutil
+
+    ev = _t(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_dpp_fact_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    ev.withColumn("day", F.to_date(F.date_trunc("DAY", F.col("ts")))).write.partitionBy(
+        "day"
+    ).mode("overwrite").parquet(root)
+    fact = spark.read.parquet(root)
+    epoch_day = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    dim = (
+        fact.select("day").distinct().withColumn("day_num", epoch_day)
+        .filter(F.pmod(F.col("day_num"), F.lit(3)) == 0)
+        .select("day")
+    )
+    return (
+        fact.join(dim, "day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+SQL_DPP = """
+WITH f AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+), dim AS (
+  SELECT DISTINCT day FROM f
+  WHERE date_diff('day', DATE '1970-01-01', day) % 3 = 0
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_events
+FROM f JOIN dim USING (day)
+GROUP BY day
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-activity week,
     counted in each later week they were active — (cohort, offset) →
@@ -4791,6 +4838,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     "triangle_count": q_triangle_count,
     "cohort_retention": q_cohort_retention,
+    "dpp_prune_join": q_dpp_prune_join,
     # Everything below has a GREEN driver row from CORRECTNESS_r03 and is
     # unchanged this round; rotates back into the window in round 5.
     "events_scd2": q_events_scd2,
@@ -4926,6 +4974,7 @@ ORACLES: dict[str, str] = {
     "funnel_conversion": SQL_FUNNEL,
     "triangle_count": SQL_TRIANGLES,
     "cohort_retention": SQL_COHORT,
+    "dpp_prune_join": SQL_DPP,
     "pipeline_maintained_freq": SQL_PIPELINE_FREQ,
     "dedup_embedding": _emb_lsh_sql(),
     "lake_prune_scan": SQL_PRUNE_SCAN,

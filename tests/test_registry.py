@@ -17,53 +17,35 @@ from data_ingestion_resolution_platform_spark.plans.queries import ORACLES, QUER
 
 GATE_WINDOW = 50
 
-# Round-4 gate contract (VERDICT.md round-3, directive #2): the 37 entries
-# below the r3 window (whose hard signal dates from r02) rotate back in, led
-# by pipeline_scd2_history (never directly gated before), plus everything
-# changed or added in round 4.
+# Round-5 gate contract (VERDICT.md round-4, Next round #1): the eleven
+# never-driver-gated queries lead the window, followed by the flagship e2e
+# pair (last hard row r03) and the three r02-signal entries (the registry's
+# oldest hard rows).  Round-5 additions are appended to this set as they
+# land.
 MUST_BE_GATED = {
-    # never directly gated before round 4
-    "pipeline_scd2_history",
-    # the below-window r02-greens rotating back in. Mid-round amendment:
-    # customer_set_ops, dedup_ngram_jaccard, and latest_order_salted were
-    # displaced back below the line to make room for the three NEW
-    # join-IVM queries (brand-new code needs a first hard row more than
-    # unchanged twice-green code needs a refresh) — all three are
-    # family-redundant (set ops via distinct_union; 5 sibling dedup
-    # greens; oracle-identical twin latest_order_per_customer in-window)
-    # and rotate back in round 5.
-    "stream_enrich", "pricing_summary", "shipping_priority", "dedup_minhash",
-    "latest_order_per_customer", "local_supplier_volume",
-    "semi_join_customers", "anti_join_customers", "orders_above_cust_avg",
-    "topk_orders", "distinct_union", "pricing_rollup", "order_percentiles",
-    "orders_running_total", "events_value_bands", "events_type_pivot",
-    "contacts_normalize", "contacts_issues", "dedup_exact",
-    "dedup_clusters", "text_quality", "lang_id",
-    "token_stats", "doc_fingerprints", "ann_topk", "dedup_embedding_exact",
-    "asof_purchase_click", "asof_cogroup", "events_tumbling", "events_gapfill",
-    "events_session_window", "dedup_incremental", "dedup_simhash",
-    # changed or new in round 4
-    "contacts_csv_ingest", "fuzzy_part_match", "kmeans_embeddings",
-    "ann_ivf_kmeans", "multimodal_features", "scd2_incremental",
-    "cdc_bootstrap_handoff",
-    "ivm_incremental_join", "pipeline_maintained_view",
-    "ivm_incremental_join_outer",
-    # late-r4 non-additive-IVM additions (brand-new code, first hard row);
-    # pipeline_maintained_stats / events_scd2_asof / stream_tumbling /
-    # events_scd2 moved just below the line for these — each keeps its
-    # green r03 row, so the "every query has an r3-or-r4 driver row"
-    # invariant holds
-    "ivm_distinct_count", "ivm_minmax", "ann_ivf_incremental",
-    "ivm_topk_view",
-    # final-r4-session sketch-family integration queries (brand-new
-    # code, first hard row); the flagship cdc_apply_changes /
-    # pipeline_cdc_e2e moved just below the line for these — both keep
-    # their green r03 rows, entry() still smoke-runs cdc_apply_changes
-    # every round, and the pipeline stays gated via
-    # cdc_bootstrap_handoff / pipeline_scd2_history /
-    # pipeline_maintained_view
-    "ivm_cms_sketch", "pipeline_maintained_freq",
+    # never driver-gated before round 5
+    "ann_ivf_inc_partitioned", "pipeline_maintained_leaderboard",
+    "ivm_percentiles", "sketch_distinct_kmv", "sketch_kmv_incremental",
+    "sketch_heavy_hitters", "stream_stream_join", "funnel_conversion",
+    "triangle_count", "cohort_retention", "dpp_prune_join",
+    # flagship e2e queries, last hard row r03
+    "cdc_apply_changes", "pipeline_cdc_e2e",
+    # oldest hard signal in the registry (r02)
+    "customer_set_ops", "dedup_ngram_jaccard", "latest_order_salted",
 }
+
+# Below-window entries must still hold a recent hard row: everything not in
+# the round-5 window is either r04-green (the freshest signal) or one of the
+# 8 reviewed family-redundant r03 greens listed here.
+REDUNDANT_R03_BELOW = {
+    "ann_ivf", "ann_ivf_persisted", "cdc_resolve_first", "cdc_with_choices",
+    "events_sessionize", "vocab_topk", "cdf_replication", "spend_deciles",
+}
+
+
+def test_redundant_below_window_entries_are_actually_below():
+    window = set(list(QUERIES)[:GATE_WINDOW])
+    assert not (REDUNDANT_R03_BELOW & window)
 
 
 def test_never_gated_queries_inside_window():

@@ -268,6 +268,12 @@ class Scd2HistoryStore:
             batch.unpersist()
 
 
+#: Sentinel embedded in the folded replay-contract guard's raise_error
+#: message so :func:`historize_epoch` can translate the engine error back
+#: to the contract ``ValueError`` without swallowing unrelated failures.
+_CONTRACT_MARKER = "scd2 replay contract violated:"
+
+
 def historize_epoch(
     history,
     delta: DataFrame,
@@ -284,10 +290,14 @@ def historize_epoch(
 
     Guards the replay contract (delta LSNs strictly after the
     history's): an out-of-order delta produces a refitted open version
-    with ``valid_to_lsn < valid_from_lsn``, which is detected on the
-    small MERGE batch (1-row aggregate) and raises BEFORE any write —
-    the table is never corrupted, and the epoch stays uncommitted for
-    a correct redelivery.
+    with ``valid_to_lsn < valid_from_lsn``. The guard is folded into
+    the MERGE action itself (no separate per-epoch job): a violating
+    row trips ``raise_error`` while the merge's own write evaluates the
+    batch — inside the store's claim/release envelope and before its
+    version-commit / ledger-record point — so the table is never
+    corrupted and the epoch stays uncommitted for a correct
+    redelivery; the engine error is translated back to the contract
+    ``ValueError`` here.
     """
     if history.epoch_committed(epoch_id):
         return {"skipped": True, "epoch": str(epoch_id)}
@@ -310,16 +320,41 @@ def historize_epoch(
         # batch rows sharing the MERGE key (keys, valid_from_lsn) —
         # legitimate in-order deltas always close strictly after
         # valid_from_lsn, so equality is a contract violation too.
-        bad = batch.filter(
-            F.col("valid_to_lsn") <= F.col("valid_from_lsn")
-        ).count()  # 1-row scalar over the epoch-sized batch
-        if bad:
+        # Folded into the merge action (r4 advice): no separate
+        # .count() job — the condition rides the MERGE-key column, so
+        # whichever write first evaluates a violating row raises before
+        # that table's commit point (open rows have NULL valid_to_lsn
+        # and never trip it; dels/key-only projections prune the guard
+        # but every actual write evaluates the full row).
+        batch = batch.withColumn(
+            "valid_from_lsn",
+            F.when(
+                F.col("valid_to_lsn") <= F.col("valid_from_lsn"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(_CONTRACT_MARKER + " key=("),
+                        F.concat_ws(
+                            ",", *[F.col(k).cast("string") for k in keys]
+                        ),
+                        F.lit(") valid_from="),
+                        F.col("valid_from_lsn").cast("string"),
+                        F.lit(" valid_to="),
+                        F.col("valid_to_lsn").cast("string"),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("valid_from_lsn")),
+        )
+    try:
+        return history.merge(batch, [*keys, "valid_from_lsn"], epoch_id=epoch_id)
+    except Exception as e:
+        if _CONTRACT_MARKER in str(e):
             raise ValueError(
-                f"epoch {epoch_id!r}: {bad} version(s) with valid_to_lsn <= "
+                f"epoch {epoch_id!r}: version(s) with valid_to_lsn <= "
                 "valid_from_lsn — delta contains LSNs at or before the "
-                "history's open versions (replay contract violated)"
-            )
-    return history.merge(batch, [*keys, "valid_from_lsn"], epoch_id=epoch_id)
+                "history's open versions (replay contract violated): "
+                + str(e)[: str(e).find(_CONTRACT_MARKER) + 200]
+            ) from e
+        raise
 
 
 def scd2_as_of(history: DataFrame, lsn: int) -> DataFrame:

@@ -488,6 +488,104 @@ def run_cms_growth(parallelism: int) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_qsample_growth(parallelism: int) -> dict:
+    """Quantile-sketch growth sweep (r4 verdict Next-round #2): does a
+    FIXED insert epoch's maintenance cost track the epoch or the corpus?
+
+    State is ≤ k structs per group at every corpus size, so the sweep
+    isolates the plan shapes: REBUILD is the salted bottom-k over the
+    whole corpus (O(N)); MAINTAIN unions the epoch's delta with the
+    touched groups' stored sketches and re-truncates (O(Δ + touched·k)).
+    The epoch is held constant (1k inserts with ids disjoint from the
+    corpus); re-applying the identical epoch is state-invariant because
+    the merge dedupes on the full (h, id, v) struct, so each timed rep
+    measures the same touched-group read + re-truncate + MERGE cost."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_resolution_platform_spark.operators.sketch import (
+        maintain_qsample,
+        qsample_sketch,
+    )
+    from data_ingestion_resolution_platform_spark.session import get_spark
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    spark = get_spark("bench_qsample_growth", parallelism=parallelism)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    base_n = base.count()
+    k = 256
+    reps = [int(x) for x in os.environ.get("SPARK_GRAFT_QS_REPLICAS", "1,4,16").split(",")]
+    n_maintain = int(os.environ.get("SPARK_GRAFT_QS_MAINTAIN_REPS", "3"))
+    changes = (
+        base.orderBy("event_id")
+        .limit(1000)
+        .select(
+            F.pmod(F.col("user_id"), F.lit(40)).cast("string").alias("g"),
+            # ids disjoint from every replicated corpus id
+            (F.col("event_id") + F.lit(1 << 40)).alias("id"),
+            F.floor(F.col("value") * 100).cast("long").alias("val"),
+        )
+        .withColumn("change_type", F.lit("insert"))
+        .persist()
+    )
+    changes.count()
+    wh = tempfile.mkdtemp(
+        prefix="bench_qsg_", dir=os.environ.get("SPARK_GRAFT_BENCH_DIR") or None
+    )
+    out: dict = {
+        "metric": "qsample_epoch_cost_vs_corpus_growth",
+        "base_rows": base_n,
+        "k": k,
+        "groups": 40,
+        "epoch_rows": 1000,
+        "parallelism": parallelism,
+        "sizes": [],
+    }
+    try:
+        for k_rep in reps:
+            corpus = base.withColumn(
+                "r", F.explode(F.sequence(F.lit(0), F.lit(k_rep - 1)))
+            ).select(
+                F.pmod(F.col("user_id"), F.lit(40)).cast("string").alias("g"),
+                # replica-unique id keeps the sampling key a true row id
+                (F.col("event_id") * F.lit(k_rep) + F.col("r")).alias("id"),
+                F.floor(F.col("value") * 100).cast("long").alias("val"),
+            )
+            t = LakeTable(spark, os.path.join(wh, f"qs_{k_rep}"))
+            t0 = time.time()
+            t.merge(qsample_sketch(corpus, ["g"], "val", "id", k=k), ["g"], epoch_id="seed")
+            rebuild_s = round(time.time() - t0, 3)
+            # untimed warmup apply (codegen + worker warmup, paid once)
+            maintain_qsample(t, changes, ["g"], "val", "id", k=k, epoch_id=None)
+            secs = []
+            for _ in range(n_maintain):
+                t0 = time.time()
+                maintain_qsample(t, changes, ["g"], "val", "id", k=k, epoch_id=None)
+                secs.append(round(time.time() - t0, 3))
+            out["sizes"].append(
+                {
+                    "replicas": k_rep,
+                    "rows": base_n * k_rep,
+                    "sketch_rows": t.read().count(),
+                    "rebuild_s": rebuild_s,
+                    "maintain_secs": secs,
+                    "maintain_median_s": sorted(secs)[len(secs) // 2],
+                }
+            )
+        s0, s1 = out["sizes"][0], out["sizes"][-1]
+        out["rebuild_growth"] = round(s1["rebuild_s"] / max(s0["rebuild_s"], 1e-9), 2)
+        out["maintain_growth"] = round(
+            s1["maintain_median_s"] / max(s0["maintain_median_s"], 1e-9), 2
+        )
+        out["corpus_growth"] = round(s1["rows"] / s0["rows"], 2)
+        return out
+    finally:
+        changes.unpersist()
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def run_scd2_growth(parallelism: int) -> dict:
     """SCD2-history growth sweep (r3 verdict #7): does per-epoch
     historization cost track the OPEN set or the ACCUMULATED history?
@@ -907,23 +1005,36 @@ def main() -> None:
         return
 
     if "--scaling-core" in sys.argv:
-        # Focused core-probe rerun: the full --scaling mode spends most of
-        # its wall on the two e2e variants, so its core median rests on
-        # only 3 paired ratios — too few against this VM's ±40% multi-
-        # minute host drift (r03 observed pair ratios 0.697..1.363).
-        # This mode runs ONLY the disk-free compute-core pair, with more
-        # reps, for a tighter median of time-paired ratios.
+        # Focused core-probe rerun with WINDOW QUALIFICATION (r4 verdict
+        # Next-round #3): this VM's host throughput oscillates ±40% on
+        # multi-minute timescales, and rounds 3-4 spent their verdicts
+        # re-litigating which reps landed in degraded windows. The fix is
+        # structural: immediately before EACH paired rep, run the
+        # framework-free sha256 ceiling probe (no JVM, no shuffle — the
+        # N→4N scaling ANY engine could reach in that window). A rep whose
+        # window ceiling < 0.8 is recorded but marked unqualified and
+        # excluded from the headline median — the protocol qualifies
+        # windows up front instead of explaining them post-hoc. The loop
+        # keeps running (up to a bounded attempt cap) until it has the
+        # requested number of QUALIFIED reps.
         n = max(2, int(cpus * 0.75) // 4)
         n4 = n * 4
-        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "7"))
+        want = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
+        max_attempts = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_ATTEMPTS", str(want * 2)))
+        qual_thresh = float(os.environ.get("SPARK_GRAFT_CEILING_QUALIFY", "0.8"))
+        probe_s = float(os.environ.get("SPARK_GRAFT_CEILING_PROBE_S", "6"))
         env = dict(
             os.environ,
             SPARK_GRAFT_CONTENT_WORDS=os.environ.get("SPARK_GRAFT_CONTENT_WORDS", "150"),
         )
         env.setdefault("SPARK_DRIVER_MEMORY", "48g")
-        ratios: list[float] = []
+        rep_rows: list[dict] = []
         best: dict[int, dict] = {}
-        for rep in range(reps):
+        attempt = 0
+        while attempt < max_attempts and sum(r["qualified"] for r in rep_rows) < want:
+            attempt += 1
+            hw = hw_scaling_probe(n, n4, seconds=probe_s)
+            ceiling = hw["hw_efficiency"]
             pair: dict[int, dict] = {}
             for par in (n4, n):
                 subprocess.run(["sync"], check=False)
@@ -938,23 +1049,42 @@ def main() -> None:
                 pair[par] = r
                 if par not in best or r["events_per_sec"] > best[par]["events_per_sec"]:
                     best[par] = r
-            ratios.append(
-                (pair[n4]["events_per_sec"] / pair[n]["events_per_sec"]) / (n4 / n)
-            )
-            print(json.dumps({"rep": rep, "ratio": round(ratios[-1], 3)}),
-                  file=sys.stderr)
-        rs = sorted(ratios)
-        med = rs[len(rs) // 2] if reps % 2 else (rs[reps // 2 - 1] + rs[reps // 2]) / 2
+            ratio = (pair[n4]["events_per_sec"] / pair[n]["events_per_sec"]) / (n4 / n)
+            row = {
+                "rep": attempt,
+                "ceiling": ceiling,
+                "qualified": ceiling >= qual_thresh,
+                "ratio": round(ratio, 3),
+                "events_per_sec_n": pair[n]["events_per_sec"],
+                "events_per_sec_4n": pair[n4]["events_per_sec"],
+            }
+            rep_rows.append(row)
+            print(json.dumps(row), file=sys.stderr)
+
+        def _median(xs: list[float]) -> float | None:
+            if not xs:
+                return None
+            s = sorted(xs)
+            m = len(s)
+            return s[m // 2] if m % 2 else (s[m // 2 - 1] + s[m // 2]) / 2
+
+        qual = [r["ratio"] for r in rep_rows if r["qualified"]]
+        allr = [r["ratio"] for r in rep_rows]
+        med = _median(qual) if qual else _median(allr)
         print(json.dumps({
             "metric": "cdc_core_scaling_efficiency",
             "value": round(med, 3),
             "unit": "ratio",
             "n": n, "4n": n4,
-            "core_ratio_reps": [round(x, 3) for x in ratios],
+            "qualify_threshold": qual_thresh,
+            "qualified_reps": len(qual),
+            "attempts": attempt,
+            "no_qualified_windows": not qual,
+            "all_rep_median": round(_median(allr), 3),
+            "rep_rows": rep_rows,
             "core_events_per_sec_n": best[n]["events_per_sec"],
             "core_events_per_sec_4n": best[n4]["events_per_sec"],
             "core_events": best[n]["events"],
-            "reps": reps,
         }))
         return
 
@@ -978,6 +1108,10 @@ def main() -> None:
 
     if "--cms-growth" in sys.argv:
         print(json.dumps(run_cms_growth(cpus)))
+        return
+
+    if "--qsample-growth" in sys.argv:
+        print(json.dumps(run_qsample_growth(cpus)))
         return
 
     if "--scaling" in sys.argv:

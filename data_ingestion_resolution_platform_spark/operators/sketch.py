@@ -295,3 +295,181 @@ def maintain_cms(
         change_col=change_col,
         count_alias=count_alias,
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch (bottom-k row sample)
+# ---------------------------------------------------------------------------
+#
+# Completes the sketch triad (distinct = KMV, frequency = count-min,
+# quantiles = this): bounded-state grouped quantiles for UNBOUNDED value
+# domains, where ivm.maintain_percentiles' exact multiplicity histogram
+# — O(distinct values) state — is the wrong shape at 10^10 rows.
+#
+# Structure: per group, the k rows whose mixed portable hash of a UNIQUE
+# numeric row id is smallest — i.e. a uniform random sample of rows
+# drawn by hashing (bottom-k sampling, Cohen & Kaplan 2007), with the
+# hash as the sampling randomness so the sketch is fully DETERMINISTIC.
+# Quantile estimate = order statistic of the sample: rank error is
+# O(1/sqrt(k)) with high probability (standard sampling bound).
+#
+# Why not KLL/GK: their guarantees are better per byte, but KLL's
+# compaction is randomized and GK's is an inherently sequential
+# multi-pass band structure — neither can be replicated by a one-shot
+# DuckDB SQL twin, so neither can pass the driver's bit-equality gate.
+# The bottom-k sample is the strongest structure that is simultaneously
+# (a) mergeable with an EXACT homomorphism — merge(sk(A), sk(B)) ==
+# sk(A ∪ B) for disjoint row ids, because "k smallest hashes of A ∪ B"
+# distributes over union — (b) bounded at k structs per group, and
+# (c) expressible in both engines from shared primitives.
+#
+# State row: group cols + ``qs`` = array<struct<h,i,v>> sorted by
+# (h, i), len ≤ k. The unique id rides along so hash collisions stay
+# distinct rows (merge dedupes on the full struct — exactly redelivery
+# dedupe, never a sample-point collapse).
+
+
+def qsample_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Per-group bottom-k row-sample quantile sketch over a numeric
+    value column; ``id_col`` must be a UNIQUE numeric row id (the
+    sampling key). Output: group cols + ``qs``.
+
+    Plan: one projection to (group, h, id, value), then the exact
+    salted bottom-k (``grouped_topk`` on the negated (h, id) order —
+    reducer state ≤ n_salt·k per group), then a k-bounded collect into
+    the sorted struct array. One shuffle pair, no unbounded state.
+    """
+    if k < 2:
+        raise ValueError("quantile sample needs k >= 2")
+    from data_ingestion_resolution_platform_spark.operators.topk import grouped_topk
+
+    keys = list(group_cols)
+    rows = df.select(
+        *keys,
+        kmv_hash(F.col(id_col)).alias("_h"),
+        F.col(id_col).cast("long").alias("_i"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    bottom = grouped_topk(
+        rows, keys, [F.col("_h") * -1, F.col("_i") * -1], k, n_salt=n_salt, rank_col="_rk"
+    )
+    return bottom.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_h").alias("h"), F.col("_i").alias("i"), F.col("_v").alias("v")
+                )
+            )
+        ).alias("qs")
+    )
+
+
+def qsample_merge(a: Column, b: Column, k: int) -> Column:
+    """Merge two qs arrays: union, dedupe on the full (h, i, v) struct
+    (collapses only true redeliveries — ids are unique), keep the k
+    smallest by (h, i). Associative + commutative + idempotent, and
+    EXACTLY the sketch of the unioned inputs."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def qsample_quantile(qs_col: str, num: int, den: int) -> Column:
+    """Estimated ``num/den`` quantile off a qs array: the ceil(q·n)-th
+    smallest sampled value (1-based, clamped to 1). Integer index
+    arithmetic only, so Spark and the DuckDB twin agree to the bit."""
+    return F.expr(
+        f"element_at(array_sort(transform({qs_col}, x -> x.v)), "
+        f"greatest(1, cast((size({qs_col}) * {num} + {den} - 1) div {den} as int)))"
+    )
+
+
+def qsample_values_csv(qs_col: str) -> Column:
+    """The full sorted sample as a '|'-joined string — lets a gate
+    compare the entire sketch content, not just the quantile points."""
+    return F.array_join(
+        F.expr(f"transform(array_sort(transform({qs_col}, x -> x.v)), v -> cast(v as string))"),
+        "|",
+    )
+
+
+def maintain_qsample(
+    table,
+    changes: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    epoch_id: str | int | None = None,
+    change_col: str = "change_type",
+    n_salt: int = 16,
+) -> dict:
+    """Advance a persisted per-group quantile-sample ``LakeTable``
+    (schema: group cols + ``qs``) by one APPEND-ONLY feed epoch,
+    exactly-once.
+
+    Inserts merge via union + re-truncate, reading only the touched
+    groups' state (broadcast semi-join — the table never shuffles):
+    cost O(|Δ| + touched·k), flat as the corpus grows. Retractions are
+    REFUSED, same contract as :func:`maintain_kmv`: a bottom-k sample
+    cannot re-admit the row the deleted one displaced, so the
+    maintained sketch would silently stop equaling the one-shot build —
+    invertible feeds belong to ``ivm.maintain_percentiles``'s exact
+    multiplicity table. The maintained sketch EQUALS the one-shot
+    :func:`qsample_sketch` of all epochs' rows (exact homomorphism),
+    which is what the property tests and the oracle twin assert.
+    """
+    if epoch_id is not None and table.epoch_committed(epoch_id):
+        return {"skipped": True, "epoch": str(epoch_id)}
+    from data_ingestion_resolution_platform_spark.operators.topk import grouped_topk
+
+    keys = list(group_cols)
+    retract = changes.filter(
+        F.col(change_col).isin("delete", "update_preimage")
+    ).limit(1)
+    if retract.count() > 0:
+        raise ValueError(
+            "maintain_qsample is insert-only (a bottom-k sample cannot "
+            "re-admit a displaced row); use ivm.maintain_percentiles for "
+            "invertible feeds"
+        )
+    delta = changes.select(
+        *keys,
+        kmv_hash(F.col(id_col)).alias("_h"),
+        F.col(id_col).cast("long").alias("_i"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    if table.exists():
+        touched = delta.select(*keys).distinct()
+        old = (
+            table.read()
+            .join(F.broadcast(touched), on=keys, how="left_semi")
+            .select(*keys, F.explode("qs").alias("_s"))
+            .select(
+                *keys,
+                F.col("_s.h").alias("_h"),
+                F.col("_s.i").alias("_i"),
+                F.col("_s.v").alias("_v"),
+            )
+        )
+        # distinct on the full row: a redelivered insert that also sits
+        # in the stored sketch must not count twice in the bottom-k
+        delta = delta.unionByName(old).distinct()
+    bottom = grouped_topk(
+        delta, keys, [F.col("_h") * -1, F.col("_i") * -1], k, n_salt=n_salt, rank_col="_rk"
+    )
+    batch = bottom.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_h").alias("h"), F.col("_i").alias("i"), F.col("_v").alias("v")
+                )
+            )
+        ).alias("qs")
+    )
+    return table.merge(batch, keys, epoch_id=epoch_id)

@@ -4740,6 +4740,151 @@ GROUP BY item
 """
 
 
+
+# --------------------------------------------------------------------------
+# Quantile-sample sketch family (round 5): bounded-state grouped quantiles
+# --------------------------------------------------------------------------
+
+
+def _qsample_sql(source_sql: str, group_out: str, k: int) -> str:
+    """DuckDB twin of operators/sketch.qsample_sketch + the quantile
+    reads: ``source_sql`` must yield columns (g, id, val, s) where s is
+    the string form of the unique numeric id. Same mixed portable hash,
+    same (h, id) bottom-k, same ceil(q·n) integer order-statistic."""
+    qcols = []
+    for alias, num, den in (("est_p50", 1, 2), ("est_p90", 9, 10), ("est_p99", 99, 100)):
+        idx = f"greatest(1, (ns * {num} + {den} - 1) // {den})"
+        qcols.append(f"max(CASE WHEN vr = {idx} THEN val END) AS {alias}")
+    return f"""
+WITH v AS ({source_sql}
+), h0 AS (
+  SELECT g, id, val, {_poly_scalar_sql('s')} AS p FROM v
+), h AS (
+  SELECT g, id, val, {_KMV_MIX_SQL} AS h FROM h0
+), r AS (
+  SELECT g, id, val,
+         row_number() OVER (PARTITION BY g ORDER BY h, id) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM h
+), samp AS (
+  SELECT g, val, least(n, {k}) AS ns FROM r WHERE rn <= {k}
+), ordv AS (
+  SELECT g, ns, val, row_number() OVER (PARTITION BY g ORDER BY val) AS vr FROM samp
+)
+SELECT g AS {group_out},
+       CAST(max(ns) AS BIGINT) AS n_sample,
+       {', '.join(qcols)},
+       array_to_string(list(CAST(val AS VARCHAR) ORDER BY val), '|') AS sample_csv
+FROM ordv GROUP BY g
+"""
+
+
+def _qsample_select(sk: DataFrame, group_out: str) -> DataFrame:
+    from data_ingestion_resolution_platform_spark.operators.sketch import (
+        qsample_quantile,
+        qsample_values_csv,
+    )
+
+    return sk.select(
+        group_out,
+        F.size("qs").cast("long").alias("n_sample"),
+        qsample_quantile("qs", 1, 2).alias("est_p50"),
+        qsample_quantile("qs", 9, 10).alias("est_p90"),
+        qsample_quantile("qs", 99, 100).alias("est_p99"),
+        qsample_values_csv("qs").alias("sample_csv"),
+    )
+
+
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state grouped quantiles — the sketch triad's third member
+    (KMV = distinct, count-min = frequency, this = quantiles; r4 verdict
+    Next-round #2): per-priority bottom-k row-sample sketch (k = 128,
+    sampling key = the mixed portable hash of the unique order key) over
+    order prices in integer cents. State is ≤ 128 structs per group no
+    matter the input size — the bounded-domain exact-histogram
+    ``ivm_percentiles`` keeps O(distinct values) state, the wrong shape
+    for unbounded domains at 10^10 rows. Emits the ceil(q·n) sample
+    order statistics (integer index arithmetic, engine-exact) AND the
+    full sorted sample as a CSV so the gate compares the entire sketch
+    content, not just three points."""
+    from data_ingestion_resolution_platform_spark.operators.sketch import (
+        qsample_sketch,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_orderpriority",
+        F.col("o_orderkey").alias("id"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    sk = qsample_sketch(src, ["o_orderpriority"], "cents", "id", k=128)
+    return _qsample_select(sk, "o_orderpriority")
+
+
+SQL_SKETCH_QUANTILES = _qsample_sql(
+    """
+  SELECT o_orderpriority AS g, o_orderkey AS id,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS val,
+         coalesce(CAST(o_orderkey AS VARCHAR), '') AS s
+  FROM orders""",
+    "o_orderpriority",
+    128,
+)
+
+
+def q_sketch_quantiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch maintained per APPEND-ONLY ingest epoch: two
+    LSN-ranged epochs of the derived code feed advance a persisted
+    per-repo bottom-k sample (k = 64) of content lengths via
+    ``operators/sketch.maintain_qsample`` — union + re-truncate reading
+    only the touched groups' state (broadcast semi-join, the table never
+    shuffles), exactly-once per the epoch ledger. The merge homomorphism
+    is EXACT, so the final sketch equals the one-shot build over the
+    whole feed — which is the oracle, compared on the full sample CSV."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.sketch import (
+        maintain_qsample,
+    )
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    feed = _derived_code_feed(spark, sf_dir)
+    thr = feed.agg(F.max("lsn")).collect()[0][0] // 2
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_qsinc_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable(spark, root)
+    src_cols = [
+        F.col("repo"),
+        F.col("lsn").alias("id"),
+        F.length("content").cast("long").alias("clen"),
+    ]
+    for e, part in enumerate(
+        [feed.filter(F.col("lsn") <= thr), feed.filter(F.col("lsn") > thr)], start=1
+    ):
+        maintain_qsample(
+            t,
+            part.select(*src_cols).withColumn("change_type", F.lit("insert")),
+            ["repo"],
+            "clen",
+            "id",
+            k=64,
+            epoch_id=e,
+        )
+    return _qsample_select(t.read(), "repo")
+
+
+SQL_SKETCH_QUANTILES_INC = _qsample_sql(
+    f"""
+  SELECT repo AS g, lsn AS id,
+         CAST(length(content) AS BIGINT) AS val,
+         coalesce(CAST(lsn AS VARCHAR), '') AS s
+  FROM ({_DERIVED_FEED_SQL})""",
+    "repo",
+    64,
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4770,6 +4915,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "cohort_retention": q_cohort_retention,
     "dpp_prune_join": q_dpp_prune_join,
+    # -- NEW in round 5: first hard row ------------------------------------
+    "sketch_quantiles": q_sketch_quantiles,
+    "sketch_quantiles_incremental": q_sketch_quantiles_incremental,
     # -- flagship e2e queries, last hard row r03 (entry() also smoke-runs
     # cdc_apply_changes every round) --------------------------------------
     "cdc_apply_changes": q_cdc_apply_changes,
@@ -4811,9 +4959,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "events_cube": q_events_cube,
     "table_changes": q_table_changes,
+    # ======================= driver gate window ends =======================
+    # slid below as the round-5 sketch_quantiles pair landed (r03-green,
+    # family-covered: train_split in-window, events_type_pivot r04-green)
     "stratified_sample": q_stratified_sample,
     "lineitem_unpivot": q_lineitem_unpivot,
-    # ======================= driver gate window ends =======================
     # r03-green, family-redundant — displaced so the window fits the
     # never-gated block: ann_ivf / ann_ivf_persisted (4 sibling ANN queries
     # in-window or r04-green), cdc_resolve_first / cdc_with_choices (CDC
@@ -4956,6 +5106,8 @@ ORACLES: dict[str, str] = {
     "ivm_topk_view": SQL_IVM_TOPK,
     "pipeline_maintained_leaderboard": SQL_IVM_TOPK,
     "ivm_percentiles": SQL_IVM_PERCENTILES,
+    "sketch_quantiles": SQL_SKETCH_QUANTILES,
+    "sketch_quantiles_incremental": SQL_SKETCH_QUANTILES_INC,
     "sketch_distinct_kmv": SQL_SKETCH_KMV,
     "sketch_kmv_incremental": SQL_SKETCH_KMV_INC,
     "sketch_heavy_hitters": SQL_SKETCH_HH,

@@ -32,6 +32,8 @@ MUST_BE_GATED = {
     "cdc_apply_changes", "pipeline_cdc_e2e",
     # oldest hard signal in the registry (r02)
     "customer_set_ops", "dedup_ngram_jaccard", "latest_order_salted",
+    # NEW in round 5 (first hard row)
+    "sketch_quantiles", "sketch_quantiles_incremental",
 }
 
 # Below-window entries must still hold a recent hard row: everything not in
@@ -40,6 +42,8 @@ MUST_BE_GATED = {
 REDUNDANT_R03_BELOW = {
     "ann_ivf", "ann_ivf_persisted", "cdc_resolve_first", "cdc_with_choices",
     "events_sessionize", "vocab_topk", "cdf_replication", "spend_deciles",
+    # slid below as the round-5 sketch_quantiles pair landed
+    "stratified_sample", "lineitem_unpivot",
 }
 
 

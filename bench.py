@@ -544,6 +544,22 @@ def run_qsample_growth(parallelism: int) -> dict:
         "sizes": [],
     }
     try:
+        # global untimed warmup: JIT + codegen + parquet reader init
+        # otherwise land entirely on the FIRST size's rebuild, making the
+        # growth ratios read backwards (r5: 18.2 s cold vs 4-5 s warm)
+        warm = LakeTable(spark, os.path.join(wh, "qs_warm"))
+        warm.merge(
+            qsample_sketch(
+                base.limit(5000).select(
+                    F.pmod(F.col("user_id"), F.lit(40)).cast("string").alias("g"),
+                    F.col("event_id").alias("id"),
+                    F.floor(F.col("value") * 100).cast("long").alias("val"),
+                ),
+                ["g"], "val", "id", k=k,
+            ),
+            ["g"], epoch_id="warm",
+        )
+        maintain_qsample(warm, changes, ["g"], "val", "id", k=k, epoch_id=None)
         for k_rep in reps:
             corpus = base.withColumn(
                 "r", F.explode(F.sequence(F.lit(0), F.lit(k_rep - 1)))
@@ -913,6 +929,8 @@ def _queries_single_pass(parallelism: int, sf_dir: str, seed: int) -> dict[str, 
     from data_ingestion_resolution_platform_spark.plans.queries import QUERIES
     from data_ingestion_resolution_platform_spark.session import get_spark
 
+    from data_ingestion_resolution_platform_spark.plans import queries as Q
+
     spark = get_spark("bench_queries", parallelism=parallelism)
     # warm the JVM outside any timed window: JIT + codegen + parquet
     # reader init otherwise land entirely on the first timed query
@@ -920,11 +938,16 @@ def _queries_single_pass(parallelism: int, sf_dir: str, seed: int) -> dict[str, 
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     order = list(HEADLINE)
     random.Random(seed).shuffle(order)
-    out: dict[str, float] = {}
+    out: dict[str, dict] = {}
     for name in order:
+        # fixture/operator split (r4 verdict #4): versioned-fixture
+        # queries mark their lake-building sections with fixture_phase();
+        # operator_s = total - fixture is the regression-meaningful number
+        Q.reset_fixture_time()
         t0 = time.time()
         QUERIES[name](spark, sf_dir).count()
-        out[name] = round(time.time() - t0, 3)
+        total = round(time.time() - t0, 3)
+        out[name] = {"t": total, "f": round(Q.fixture_time(), 3)}
     spark.stop()
     return out
 
@@ -935,7 +958,7 @@ def run_queries(parallelism: int, sf_dir: str, reps: int = 3) -> dict[str, float
     CDC headline uses, extended to the per-query numbers so a
     regression can be told from JVM-aging / position noise."""
     reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", str(reps)))
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples: dict[str, list[dict]] = {name: [] for name in HEADLINE}
     for seed in range(reps):
         subprocess.run(["sync"], check=False)
         time.sleep(2)
@@ -946,11 +969,16 @@ def run_queries(parallelism: int, sf_dir: str, reps: int = 3) -> dict[str, float
         )
         one = json.loads(proc.stdout.strip().splitlines()[-1])
         for name, t in one.items():
-            samples[name].append(t)
-    out: dict[str, float] = {}
+            samples[name].append(t if isinstance(t, dict) else {"t": t, "f": 0.0})
+    out: dict[str, dict] = {}
     for name, ts in samples.items():
-        ts.sort()
-        out[name] = ts[len(ts) // 2]
+        ts.sort(key=lambda s: s["t"])
+        med = ts[len(ts) // 2]
+        out[name] = {
+            "total_s": med["t"],
+            "fixture_s": med["f"],
+            "operator_s": round(med["t"] - med["f"], 3),
+        }
     return out
 
 
@@ -1236,13 +1264,17 @@ def main() -> None:
         }))
         return
 
-    queries = run_queries(cpus, sf_dir)
+    split = run_queries(cpus, sf_dir)
     cdc = _cdc_median_of_reps(cpus, _feed_events())
     print(json.dumps({
         "metric": "cdc_merge_apply_events_per_sec",
         "value": cdc["events_per_sec"],
         "unit": "events/sec",
-        "queries": queries,
+        # per-query totals (round-comparable with BENCH_r01-r04)
+        "queries": {n: s["total_s"] for n, s in split.items()},
+        # r4 verdict #4: fixture vs operator decomposition — regressions
+        # should be judged on operator_s (fixture = versioned-lake build)
+        "queries_split": split,
         "sf": sf_dir,
         "cdc": cdc,
     }))

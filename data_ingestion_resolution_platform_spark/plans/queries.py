@@ -17,7 +17,9 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import contextlib
 import os
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -71,6 +73,42 @@ from data_ingestion_resolution_platform_spark.util import local_df
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Fixture/operator time split (r4 verdict, Next round #4)
+# --------------------------------------------------------------------------
+#
+# The versioned-fixture queries (scd2_incremental, ivm_*,
+# ann_ivf_incremental) spend most of their wall building a multi-epoch
+# lake BEFORE exercising the operator under test, so their headline
+# bench numbers read as operator cost when they are mostly fixture +
+# job-launch floor.  Query functions mark their fixture-construction
+# sections with ``with fixture_phase():``; bench.py resets the
+# accumulator before each query and reads it after, emitting
+# {total_s, fixture_s, operator_s} per query so a regression in the
+# OPERATOR is distinguishable from fixture/VM noise.
+
+_FIXTURE_S = [0.0]
+
+
+@contextlib.contextmanager
+def fixture_phase():
+    """Accumulate wall time of a fixture-construction block into the
+    module counter read by bench.py's per-query split."""
+    t0 = time.time()
+    try:
+        yield
+    finally:
+        _FIXTURE_S[0] += time.time() - t0
+
+
+def reset_fixture_time() -> None:
+    _FIXTURE_S[0] = 0.0
+
+
+def fixture_time() -> float:
+    return _FIXTURE_S[0]
 
 
 # SQL fragment shared by every CDC oracle: the events→change-feed map
@@ -2419,15 +2457,18 @@ def q_ivm_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_diff,
     )
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    src = _two_epoch_code_lake(spark, sf_dir, f"/tmp/dirp_ivmj_src_{tag}")
-    view_root = f"/tmp/dirp_ivmj_view_{tag}"
-    shutil.rmtree(view_root, ignore_errors=True)
-    r_cols = ["repo", "path", "lang", "commit"]
-    r1 = src.read(version=1).select(*r_cols)
-    s1, s2 = _repo_dim(spark, 1), _repo_dim(spark, 2)
-    view = LakeTable(spark, view_root)
-    view.merge(r1.join(s1, on="repo", how="inner"), ["repo", "path"], epoch_id="seed_v1")
+    with fixture_phase():
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        src = _two_epoch_code_lake(spark, sf_dir, f"/tmp/dirp_ivmj_src_{tag}")
+        view_root = f"/tmp/dirp_ivmj_view_{tag}"
+        shutil.rmtree(view_root, ignore_errors=True)
+        r_cols = ["repo", "path", "lang", "commit"]
+        r1 = src.read(version=1).select(*r_cols)
+        s1, s2 = _repo_dim(spark, 1), _repo_dim(spark, 2)
+        view = LakeTable(spark, view_root)
+        view.merge(
+            r1.join(s1, on="repo", how="inner"), ["repo", "path"], epoch_id="seed_v1"
+        )
     r_changes = src.changelog(1, 2, ["repo", "path"], include_preimages=True).select(
         "change_type", *r_cols
     )
@@ -2744,23 +2785,26 @@ def q_ivm_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
     from pyspark.sql import Window
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    src = _two_epoch_code_lake(spark, sf_dir, f"/tmp/dirp_ivmt_src_{tag}")
-    root = f"/tmp/dirp_ivmt_view_{tag}"
-    shutil.rmtree(root, ignore_errors=True)
-    view = LakeTable(spark, root)
-    proj = [
-        F.col("repo"),
-        F.col("path"),
-        F.length("content").cast("long").alias("nb"),
-    ]
-    v1 = src.read(version=1).select(*proj)
-    w = Window.partitionBy("repo").orderBy(F.col("nb").desc(), "path")
-    view.merge(
-        v1.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 3).drop("_rn"),
-        ["repo", "path"],
-        epoch_id="seed_v1",
-    )
+    with fixture_phase():
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        src = _two_epoch_code_lake(spark, sf_dir, f"/tmp/dirp_ivmt_src_{tag}")
+        root = f"/tmp/dirp_ivmt_view_{tag}"
+        shutil.rmtree(root, ignore_errors=True)
+        view = LakeTable(spark, root)
+        proj = [
+            F.col("repo"),
+            F.col("path"),
+            F.length("content").cast("long").alias("nb"),
+        ]
+        v1 = src.read(version=1).select(*proj)
+        w = Window.partitionBy("repo").orderBy(F.col("nb").desc(), "path")
+        view.merge(
+            v1.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 3)
+            .drop("_rn"),
+            ["repo", "path"],
+            epoch_id="seed_v1",
+        )
     changes = src.changelog(1, 2, ["repo", "path"], include_preimages=True).select(
         "change_type", *proj
     )
@@ -3072,27 +3116,28 @@ def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_diff,
     )
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    root = f"/tmp/dirp_ivf_inc_{tag}"
-    shutil.rmtree(root, ignore_errors=True)
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    vid = F.col("vec_id")
-    is_ins = F.pmod(vid, F.lit(17)) == 3
-    is_del = F.pmod(vid, F.lit(13)) == 2
-    is_upd = F.pmod(vid, F.lit(19)) == 1
-    v1 = emb.filter(~is_ins)
-    v2 = emb.filter(is_ins | ~is_del).select(
-        "vec_id",
-        F.when(~is_ins & ~is_del & is_upd, F.reverse("embedding"))
-        .otherwise(F.col("embedding"))
-        .alias("embedding"),
-    )
-    idx = LakeTable(spark, root)
-    idx.merge(
-        ivf_index(v1, "embedding", "vec_id", portable=True),
-        ["neighbor_id"],
-        epoch_id="seed_v1",
-    )
+    with fixture_phase():
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        root = f"/tmp/dirp_ivf_inc_{tag}"
+        shutil.rmtree(root, ignore_errors=True)
+        emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        vid = F.col("vec_id")
+        is_ins = F.pmod(vid, F.lit(17)) == 3
+        is_del = F.pmod(vid, F.lit(13)) == 2
+        is_upd = F.pmod(vid, F.lit(19)) == 1
+        v1 = emb.filter(~is_ins)
+        v2 = emb.filter(is_ins | ~is_del).select(
+            "vec_id",
+            F.when(~is_ins & ~is_del & is_upd, F.reverse("embedding"))
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+        idx = LakeTable(spark, root)
+        idx.merge(
+            ivf_index(v1, "embedding", "vec_id", portable=True),
+            ["neighbor_id"],
+            epoch_id="seed_v1",
+        )
     changes = snapshot_diff(v1, v2, ["vec_id"], include_preimages=True)
     maintain_ivf_index(
         idx, changes, "embedding", "vec_id", portable=True, epoch_id="inc_v2"
@@ -4147,24 +4192,29 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         historize_epoch,
     )
 
-    feed = events_as_change_feed(spark, sf_dir)
-    hi = feed.agg(F.max("lsn")).collect()[0][0]  # 1-row scalar
-    cuts = [hi // 3, 2 * hi // 3]
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    root = f"/tmp/dirp_scd2_hist_{tag}"
-    shutil.rmtree(root, ignore_errors=True)
-    hist = Scd2HistoryStore(spark, root, ["user_id"])
-    slices = [
-        feed.filter(F.col("lsn") <= cuts[0]),
-        feed.filter((F.col("lsn") > cuts[0]) & (F.col("lsn") <= cuts[1])),
-        feed.filter(F.col("lsn") > cuts[1]),
-    ]
+    with fixture_phase():
+        # materialize the feed once: a real CDC feed arrives as stored
+        # epochs; re-deriving it from events.parquet inside every
+        # historize call would bill fixture work to the operator
+        feed = events_as_change_feed(spark, sf_dir).persist()
+        hi = feed.agg(F.max("lsn")).collect()[0][0]  # 1-row scalar
+        cuts = [hi // 3, 2 * hi // 3]
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        root = f"/tmp/dirp_scd2_hist_{tag}"
+        shutil.rmtree(root, ignore_errors=True)
+        hist = Scd2HistoryStore(spark, root, ["user_id"])
+        slices = [
+            feed.filter(F.col("lsn") <= cuts[0]),
+            feed.filter((F.col("lsn") > cuts[0]) & (F.col("lsn") <= cuts[1])),
+            feed.filter(F.col("lsn") > cuts[1]),
+        ]
     for i, sl in enumerate(slices):
         historize_epoch(hist, sl, ["user_id"], "lsn", ["event_type", "value"], i)
     # redeliver epoch 1: the committed epoch ledger must short-circuit
     assert historize_epoch(
         hist, slices[1], ["user_id"], "lsn", ["event_type", "value"], 1
     ).get("skipped"), "epoch redelivery must be idempotent"
+    feed.unpersist()
     return hist.read().select(
         "user_id", "event_type", "value",
         "valid_from_lsn", "valid_to_lsn", "is_current",

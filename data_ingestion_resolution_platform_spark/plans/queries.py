@@ -3378,6 +3378,99 @@ FROM w WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_pipeline_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL pipeline replayed across a mid-stream producer schema
+    evolution, with the maintained read models on (r4 verdict Next
+    round #6): epoch 1 ingests the v1 contract; the producer then
+    evolves — ``lang`` renamed to ``language``, ``commit`` no longer
+    sent, a new ``stars`` column added, an unknown extra column — and
+    ``CDCPipeline.evolve_schema`` advances the canonical contract so
+    epoch 2's batch reconciles (rename + NULL-backfill + drop) before
+    the same fused resolve → exactly-once MERGE, whose add-column path
+    evolves the stored target (epoch-1 winners read back with NULL
+    ``stars``). ``maintain_stats`` and ``maintain_view`` run through
+    BOTH epochs; the result joins target ⋈ maintained-view ⋈ maintained-
+    stats so one hash verifies all three stayed exact across the
+    boundary. The oracle rebuilds everything from scratch in pure SQL."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from data_ingestion_resolution_platform_spark.streaming.pipeline import CDCPipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wh = f"/tmp/dirp_pipeline_evo_{tag}"
+    shutil.rmtree(wh, ignore_errors=True)
+    feed = _derived_code_feed(spark, sf_dir)
+    thr = feed.agg(F.max("lsn")).collect()[0][0] // 2
+    pipe = CDCPipeline(
+        spark,
+        feed_dir="unused",
+        warehouse=wh,
+        maintain_stats=True,
+        maintain_view=True,
+        view_attrs=("lang", "commit"),
+    )
+    pipe.seed_dim(_repo_dim(spark, 1))
+    pipe.replay_bounded(feed.filter(F.col("lsn") <= thr), epochs=1)
+    # the producer evolves; the engine's contract advances with it
+    pipe.evolve_schema(
+        add_fields=[("stars", T.LongType())], renames={"language": "lang"}
+    )
+    drifted = feed.filter(F.col("lsn") > thr).select(
+        "lsn", "op", "ts", "repo", "path",
+        F.col("lang").alias("language"),             # renamed upstream
+        "content",                                    # commit dropped upstream
+        (F.length("content") % 50).cast("long").alias("stars"),  # added upstream
+        F.lit("ingest-7").alias("producer_host"),     # unknown extra
+    )
+    pipe.replay_bounded(drifted, epochs=1, epoch_offset=1)
+    tgt = pipe.target.read().select("repo", "path", "lsn", "commit", "lang", "stars")
+    view = pipe.view.read().select(
+        "repo", "path",
+        F.col("lang").alias("v_lang"), F.col("commit").alias("v_commit"),
+        "owner", "tier",
+    )
+    stats = pipe.stats.read().select("repo", "n_paths", "total_bytes")
+    return tgt.join(view, ["repo", "path"], "left").join(stats, ["repo"], "left")
+
+
+SQL_PIPELINE_SCHEMA_EVOLUTION = f"""
+WITH feed AS ({_DERIVED_FEED_SQL}),
+thr AS (SELECT CAST(floor(max(lsn) / 2) AS BIGINT) AS t FROM feed),
+w AS (
+  SELECT f.*, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM feed f
+),
+tgt AS (
+  SELECT repo, path, lsn,
+         CASE WHEN lsn <= (SELECT t FROM thr) THEN "commit" END AS "commit",
+         lang, content,
+         CASE WHEN lsn > (SELECT t FROM thr) THEN length(content) % 50 END AS stars
+  FROM w WHERE rn = 1 AND op <> 'D'
+),
+repos AS (
+  SELECT 'repo_' || CAST(n AS VARCHAR) AS repo,
+         'org_' || CAST(n % 5 AS VARCHAR) AS owner,
+         CAST(n % 3 AS BIGINT) AS tier
+  FROM (SELECT range AS n FROM range(0, 42))
+  WHERE n <= 39 AND n % 13 <> 5
+),
+stats AS (
+  SELECT repo, CAST(count(*) AS BIGINT) AS n_paths,
+         CAST(sum(length(content)) AS BIGINT) AS total_bytes
+  FROM tgt GROUP BY repo
+)
+SELECT t.repo, t.path, t.lsn, t."commit", t.lang, t.stars,
+       CASE WHEN r.repo IS NOT NULL THEN t.lang END AS v_lang,
+       CASE WHEN r.repo IS NOT NULL THEN t."commit" END AS v_commit,
+       r.owner, r.tier, s.n_paths, s.total_bytes
+FROM tgt t
+LEFT JOIN repos r USING (repo)
+LEFT JOIN stats s USING (repo)
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality features per document
     (operators/quality.py): distinct-token ratio, top-token and
@@ -4968,6 +5061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- NEW in round 5: first hard row ------------------------------------
     "sketch_quantiles": q_sketch_quantiles,
     "sketch_quantiles_incremental": q_sketch_quantiles_incremental,
+    "pipeline_schema_evolution": q_pipeline_schema_evolution,
     # -- flagship e2e queries, last hard row r03 (entry() also smoke-runs
     # cdc_apply_changes every round) --------------------------------------
     "cdc_apply_changes": q_cdc_apply_changes,
@@ -5158,6 +5252,7 @@ ORACLES: dict[str, str] = {
     "ivm_percentiles": SQL_IVM_PERCENTILES,
     "sketch_quantiles": SQL_SKETCH_QUANTILES,
     "sketch_quantiles_incremental": SQL_SKETCH_QUANTILES_INC,
+    "pipeline_schema_evolution": SQL_PIPELINE_SCHEMA_EVOLUTION,
     "sketch_distinct_kmv": SQL_SKETCH_KMV,
     "sketch_kmv_incremental": SQL_SKETCH_KMV_INC,
     "sketch_heavy_hitters": SQL_SKETCH_HH,

@@ -116,6 +116,10 @@ class CDCPipeline:
     freq_width: int = 128
 
     def __post_init__(self) -> None:
+        # the CURRENT canonical feed schema — starts at the v1 contract
+        # and is advanced by evolve_schema() when the producer evolves
+        # (Iceberg ADD COLUMN / RENAME at the ingest edge)
+        self.canonical = CHANGE_FEED_SCHEMA
         if self.target_mode == "cow":
             # target: hash-bucketed on the leading natural key → MERGE
             # only rewrites touched buckets (Iceberg bucket(N, repo)
@@ -187,6 +191,34 @@ class CDCPipeline:
     def signature(self):
         return F.struct(F.col("lang"), content_sha256(F.col("content")).alias("sha"))
 
+    def evolve_schema(self, add_fields=(), renames: dict | None = None) -> None:
+        """Advance the canonical feed contract mid-stream (the north
+        rule's schema-evolution clause; reference analogue: varying CSV
+        headers projected onto one logical schema,
+        `/root/reference/backend/worker.py:268,305-319`).
+
+        ``add_fields`` is a sequence of ``(name, pyspark.sql.types
+        .DataType)`` for columns the producer now sends (Iceberg ADD
+        COLUMN: earlier target rows stay NULL — the MERGE's add-column
+        path evolves the stored schema on the next epoch).  ``renames``
+        maps feed-column → canonical-column for columns the producer
+        renamed (Iceberg RENAME handled at the ingest edge so the
+        stored name never changes).  Batches from BEFORE the evolution
+        replay fine: reconcile_exprs NULL-backfills what they don't
+        send, so resume-from-checkpoint across an evolution boundary is
+        deterministic.
+        """
+        from pyspark.sql import types as T
+
+        fields = list(self.canonical.fields)
+        have = {f.name for f in fields}
+        for name, dtype in add_fields:
+            if name not in have:
+                fields.append(T.StructField(name, dtype, True))
+        self.canonical = T.StructType(fields)
+        if renames:
+            self.renames = {**self.renames, **renames}
+
     def process_batch(self, batch: DataFrame, epoch: int) -> dict:
         """One micro-batch = one reference ``process_job`` epoch.
 
@@ -201,7 +233,7 @@ class CDCPipeline:
 
         phases: dict[str, float] = {}
         _t0 = _time.time()
-        batch = reconcile_exprs(batch, CHANGE_FEED_SCHEMA, self.renames)
+        batch = reconcile_exprs(batch, self.canonical, self.renames)
         # deliberately NOT persisted: each consumer (fused agg, winner
         # semi-join, lineage) reads a column-pruned scan of the source;
         # caching full rows costs more than the re-scans save (measured)

@@ -34,6 +34,7 @@ MUST_BE_GATED = {
     "customer_set_ops", "dedup_ngram_jaccard", "latest_order_salted",
     # NEW in round 5 (first hard row)
     "sketch_quantiles", "sketch_quantiles_incremental",
+    "pipeline_schema_evolution",
 }
 
 # Below-window entries must still hold a recent hard row: everything not in

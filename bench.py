@@ -602,6 +602,93 @@ def run_qsample_growth(parallelism: int) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_ann_recall(parallelism: int) -> dict:
+    """ANN recall/cost frontier (r4 verdict Next-round #5): recall@10
+    vs scan fraction across n_probe x n_cells for BOTH codebooks
+    (trained k-means vs seeded hyperplanes), against the brute-force
+    exact top-10 as ground truth.
+
+    Note on residual re-ranking: ivf_probe already scores candidates
+    with the EXACT quantized cosine inside the probed cells, so every
+    point on this frontier is re-ranked by construction — recall loss
+    comes solely from true neighbors living in unprobed cells. The
+    lever is therefore (n_cells, n_probe) i.e. scan fraction, not
+    score refinement."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_resolution_platform_spark.operators.kmeans import kmeans_fit
+    from data_ingestion_resolution_platform_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_index,
+        ivf_kmeans_index,
+        ivf_probe,
+        kmeans_probe_cells,
+        query_probe_cells,
+    )
+    from data_ingestion_resolution_platform_spark.session import get_spark
+
+    spark = get_spark("bench_ann_recall", parallelism=parallelism)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    k = 10
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    n_corpus = emb.count()
+    queries = emb.filter(F.pmod("vec_id", F.lit(31)) == 1).limit(64).persist()
+    nq = queries.count()
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, "embedding", "vec_id", k=k).collect()
+    }
+    rows: list[dict] = []
+    for n_cells in (16, 64):
+        cents = kmeans_fit(emb, "embedding", "vec_id", k=n_cells, iters=2)
+        variants = {
+            "kmeans": ivf_kmeans_index(emb, cents, "embedding", "vec_id", n_cells),
+            "hyperplane": ivf_index(emb, "embedding", "vec_id", n_cells=n_cells),
+        }
+        for name, idx in variants.items():
+            idx = idx.persist()
+            sizes = {r["cell"]: r["n"] for r in idx.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+            for n_probe in (1, 2, 4, 8, 16):
+                if n_probe > n_cells:
+                    continue
+                if name == "kmeans":
+                    probes = kmeans_probe_cells(queries, cents, "embedding", "vec_id", n_cells, n_probe)
+                else:
+                    probes = query_probe_cells(queries, "embedding", "vec_id", n_cells, n_probe)
+                probes = probes.persist()
+                probe_rows = probes.select("query_id", "cell").collect()
+                t0 = time.time()
+                res = ivf_probe(idx, probes, k=k).collect()
+                probe_s = round(time.time() - t0, 3)
+                probes.unpersist()
+                hits = sum((r["query_id"], r["neighbor_id"]) in truth for r in res)
+                scanned = sum(sizes.get(r["cell"], 0) for r in probe_rows)
+                rows.append({
+                    "codebook": name,
+                    "n_cells": n_cells,
+                    "n_probe": n_probe,
+                    "recall_at_10": round(hits / max(len(truth), 1), 4),
+                    "scan_fraction": round(scanned / max(nq * n_corpus, 1), 4),
+                    "probe_s": probe_s,
+                })
+            idx.unpersist()
+    emb.unpersist()
+    queries.unpersist()
+    return {
+        "metric": "ann_recall_frontier",
+        "corpus_rows": n_corpus,
+        "queries": nq,
+        "k": k,
+        "parallelism": parallelism,
+        "in_cell_scoring": "exact quantized cosine (re-ranked by construction)",
+        "rows": rows,
+    }
+
+
 def run_scd2_growth(parallelism: int) -> dict:
     """SCD2-history growth sweep (r3 verdict #7): does per-epoch
     historization cost track the OPEN set or the ACCUMULATED history?
@@ -1140,6 +1227,10 @@ def main() -> None:
 
     if "--qsample-growth" in sys.argv:
         print(json.dumps(run_qsample_growth(cpus)))
+        return
+
+    if "--ann-recall" in sys.argv:
+        print(json.dumps(run_ann_recall(cpus)))
         return
 
     if "--scaling" in sys.argv:

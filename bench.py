@@ -863,6 +863,119 @@ def run_growth_sweep_mor(parallelism: int) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_compaction_policy(parallelism: int) -> dict:
+    """Measured-compaction trade curve (r4 verdict #7). MoR arm: sweep
+    the delta/base byte-ratio trigger and record BOTH amplifications —
+    write amp (bytes written to storage / delta bytes ingested, >1 when
+    compactions rewrite the base) and read amp (bytes a read must open /
+    live snapshot bytes) — plus the timed read at the final state. A low
+    ratio compacts often (write amp up, read amp pinned near 1); a high
+    ratio defers (cheap ingest, reads degrade); ``none`` never compacts.
+    Append arm: the small-file auto-policy on an append-only table
+    (Scd2HistoryStore's closed side) — file count and timed full-history
+    read, armed vs plain, same appended content."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_resolution_platform_spark.session import get_spark
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable, MorLakeTable
+
+    spark = get_spark("bench_compact", parallelism=parallelism)
+    wh = tempfile.mkdtemp(
+        prefix="bench_compact_", dir=os.environ.get("SPARK_GRAFT_BENCH_DIR") or None
+    )
+    base_rows = int(os.environ.get("SPARK_GRAFT_COMPACT_BASE", "1000000"))
+    epoch_rows = int(os.environ.get("SPARK_GRAFT_COMPACT_EPOCH_ROWS", "100000"))
+    epochs = int(os.environ.get("SPARK_GRAFT_COMPACT_EPOCHS", "12"))
+
+    # incompressible ~192 B payload so byte ratios measure real data
+    def batch(lo: int, n: int, salt: int):
+        sha = F.sha2((F.col("id") + salt).cast("string"), 256)
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("k"),
+            (F.col("id") + salt).alias("lsn"),
+            F.concat(sha, sha, sha).alias("content"),
+        )
+
+    out: dict = {
+        "metric": "compaction_policy_trade_curve",
+        "base_rows": base_rows,
+        "epoch_rows": epoch_rows,
+        "epochs": epochs,
+        "parallelism": parallelism,
+        "mor_ratio_sweep": {},
+    }
+    try:
+        for ratio in (0.05, 0.2, 1.0, None):
+            t = MorLakeTable(
+                spark, os.path.join(wh, f"mor_{ratio}"), keys=["k"], lsn_col="lsn",
+                compact_ratio=ratio,
+            )
+            # untimed bootstrap: seeded base, compacted once so every
+            # config starts from the same (base, zero deltas) state
+            t.merge(batch(0, base_rows, salt=0), epoch_id="seed")
+            t.compact()
+            ingested = written = 0
+            compactions = 0
+            merge_secs = []
+            for e in range(epochs):
+                t0 = time.time()
+                s = t.merge(batch((e * epoch_rows) % base_rows, epoch_rows, salt=10**9 + e), epoch_id=e)
+                merge_secs.append(round(time.time() - t0, 3))
+                ingested += s["delta_bytes"]
+                written += s["delta_bytes"]
+                if s.get("compacted"):
+                    compactions += 1
+                    written += s["compact_stats"]["base_bytes"]
+            ss = t.scan_stats()
+            t0 = time.time()
+            t.read().count()
+            read_s = round(time.time() - t0, 3)
+            t.compact()  # measure the true live snapshot size
+            live = t.scan_stats()["base_bytes"]
+            out["mor_ratio_sweep"]["none" if ratio is None else str(ratio)] = {
+                "compactions": compactions,
+                "merge_secs": merge_secs,
+                "merge_median_s": sorted(merge_secs)[len(merge_secs) // 2],
+                "final_n_deltas": ss["n_deltas"],
+                "final_scan_bytes": ss["scan_bytes"],
+                "live_bytes": live,
+                "read_amplification": round(ss["scan_bytes"] / live, 3),
+                "write_amplification": round(written / max(ingested, 1), 3),
+                "read_s_final": read_s,
+            }
+
+        # -- append-only small-file policy arm ----------------------------
+        app_epochs = int(os.environ.get("SPARK_GRAFT_COMPACT_APP_EPOCHS", "24"))
+        app_rows = int(os.environ.get("SPARK_GRAFT_COMPACT_APP_ROWS", "40000"))
+        arm_out = {}
+        for arm, small in (("plain", None), ("armed", 64 << 20)):
+            t = LakeTable(
+                spark, os.path.join(wh, f"app_{arm}"), append_only=True,
+                compact_small_file_bytes=small, compact_min_dirs=8,
+            )
+            t0 = time.time()
+            for e in range(app_epochs):
+                t.append(batch(e * app_rows, app_rows, salt=e), epoch_id=e)
+            ingest_s = round(time.time() - t0, 3)
+            s = t.append_stats()
+            t0 = time.time()
+            n = t.read().count()
+            arm_out[arm] = {
+                "ingest_s": ingest_s,
+                "n_files": s["n_files"],
+                "n_epoch_dirs": s["n_epoch_dirs"],
+                "compacted_gen": s["compacted_gen"],
+                "rows": n,
+                "read_s": round(time.time() - t0, 3),
+            }
+        out["append_small_file_policy"] = arm_out
+        return out
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def hw_scaling_probe(n: int, n4: int, seconds: float = 10.0) -> dict:
     """Framework-free CPU-scaling ceiling of THIS host: parallel sha256
     loops via multiprocessing (no JVM, no shuffle, no allocation churn).
@@ -1223,6 +1336,10 @@ def main() -> None:
 
     if "--cms-growth" in sys.argv:
         print(json.dumps(run_cms_growth(cpus)))
+        return
+
+    if "--compact-policy" in sys.argv:
+        print(json.dumps(run_compaction_policy(cpus)))
         return
 
     if "--qsample-growth" in sys.argv:

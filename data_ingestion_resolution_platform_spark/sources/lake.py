@@ -37,6 +37,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _dir_stats(path: str) -> tuple[int, int]:
+    """(bytes, data_files) under ``path`` — one local stat pass at WRITE
+    time, the parquet twin of Iceberg's snapshot summary
+    (``total-files-size`` / ``total-data-files``). Compaction policies
+    read these numbers off the manifest; they never re-walk storage on
+    the read path."""
+    total = files = 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.startswith(("_", ".")):
+                continue
+            try:
+                total += os.path.getsize(os.path.join(root, n))
+                files += 1
+            except OSError:
+                pass
+    return total, files
+
+
 def snapshot_diff(
     before: DataFrame,
     after: DataFrame,
@@ -311,13 +330,43 @@ class LakeTable:
 
     ``append_only=True`` switches to a cheap append layout (one subdir
     per epoch under ``data/``; no rewrite of prior data) — for lineage/
-    conflict/audit tables that never update rows.
+    conflict/audit tables that never update rows. Epoch appends are
+    small relative to the table, so after 10^4 epochs a full read opens
+    10^4s of tiny files: :meth:`compact_appends` folds the accumulated
+    dirs into a size-targeted file set (Iceberg ``rewrite_data_files``
+    binpack), and ``compact_small_file_bytes`` arms a measured
+    auto-policy — compact when ≥ ``compact_min_dirs`` epoch dirs are
+    live AND the mean data-file size has fallen below the threshold
+    (the small-file read-amplification signal, not a blind cadence).
+
+    Compaction commit protocol (crash-safe, same shape as the MoR
+    manifest flip): consolidated files land under an invisible
+    ``_compacted/_tmp_g<n>`` staging dir, rename to ``_compacted/g<n>``
+    (still invisible — readers resolve the live generation through the
+    atomic ``_APPENDS`` manifest, never by listing), then ONE
+    ``os.replace`` of the manifest makes the new generation + folded-dir
+    set visible together; folded epoch dirs and the prior generation are
+    deleted best-effort after the flip (a crash between leaves them
+    orphaned but invisible, cleaned by the next compaction). The epoch
+    LEDGER is untouched — folding never changes which epochs are
+    committed, so at-least-once redelivery stays exactly-once.
     """
 
-    def __init__(self, spark: SparkSession, root: str, append_only: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        append_only: bool = False,
+        compact_small_file_bytes: int | None = None,
+        compact_min_dirs: int = 8,
+        compact_target_file_bytes: int = 128 << 20,
+    ):
         self.spark = spark
         self.root = root
         self.append_only = append_only
+        self.compact_small_file_bytes = compact_small_file_bytes
+        self.compact_min_dirs = compact_min_dirs
+        self.compact_target_file_bytes = compact_target_file_bytes
         os.makedirs(root, exist_ok=True)
         self.ledger = _EpochLedger(root)
         self.versions = _Versioned(root)
@@ -329,10 +378,43 @@ class LakeTable:
 
     def exists(self) -> bool:
         if self.append_only:
-            return os.path.isdir(self._data_dir) and any(
-                not n.startswith("_") for n in os.listdir(self._data_dir)
-            )
+            dirs, comp = self._live_append_dirs()
+            return bool(dirs) or comp is not None
         return self.versions.current() > 0
+
+    # -- append-only layout resolution ------------------------------------
+    @property
+    def _appends_manifest_path(self) -> str:
+        return os.path.join(self.root, "_APPENDS")
+
+    def _appends_manifest(self) -> dict:
+        try:
+            with open(self._appends_manifest_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"gen": 0, "folded": []}
+
+    def _compact_gen_dir(self, gen: int) -> str:
+        return os.path.join(self.root, "_compacted", f"g{gen}")
+
+    def _live_append_dirs(self) -> tuple[list[str], str | None]:
+        """(live epoch-append dirs, live compacted-generation dir) —
+        visibility is decided by the ``_APPENDS`` manifest alone: a dir
+        listed as folded is dead even if its delete never ran, and a
+        compacted generation is dead until the manifest points at it."""
+        m = self._appends_manifest()
+        folded = set(m["folded"])
+        subs = (
+            sorted(
+                n
+                for n in os.listdir(self._data_dir)
+                if not n.startswith(("_", ".")) and n not in folded
+            )
+            if os.path.isdir(self._data_dir)
+            else []
+        )
+        comp = self._compact_gen_dir(m["gen"]) if m["gen"] else None
+        return [os.path.join(self._data_dir, n) for n in subs], comp
 
     def read(self, version: int | None = None) -> DataFrame:
         """Current snapshot, or time-travel to an older ``version`` if
@@ -341,11 +423,25 @@ class LakeTable:
         if self.append_only:
             if version is not None:
                 raise ValueError("append-only tables are not versioned")
-            if not self.exists():
+            dirs, comp = self._live_append_dirs()
+            if not dirs and comp is None:
                 raise FileNotFoundError(f"lake table {self.root} has no data")
-            return self.spark.read.option("basePath", self._data_dir).parquet(
-                f"{self._data_dir}/*"
-            )
+            parts = []
+            if dirs:
+                # basePath surfaces the e=<epoch> dirname as a column
+                parts.append(
+                    self.spark.read.option("basePath", self._data_dir).parquet(*dirs)
+                )
+            if comp is not None:
+                # compacted files carry e as a regular column — same
+                # read schema either way
+                parts.append(self.spark.read.parquet(comp))
+            if len(parts) == 1:
+                return parts[0]
+            a, b = parts
+            if dict(a.dtypes).get("e") != dict(b.dtypes).get("e"):
+                b = b.withColumn("e", F.col("e").cast(dict(a.dtypes)["e"]))
+            return a.unionByName(b, allowMissingColumns=True)
         v = self.versions.current() if version is None else version
         if v == 0:
             raise FileNotFoundError(f"lake table {self.root} has no committed version")
@@ -369,17 +465,25 @@ class LakeTable:
         from data_ingestion_resolution_platform_spark.sources.skipping import pruned_scan
 
         if self.append_only:
-            dirs = [
-                os.path.join(self._data_dir, n)
-                for n in sorted(os.listdir(self._data_dir))
-                if not n.startswith("_")
-            ] if os.path.isdir(self._data_dir) else []
+            live, comp = self._live_append_dirs()
+            dirs = live + ([comp] if comp else [])
         else:
             v = self.versions.current()
             if v == 0:
                 raise FileNotFoundError(f"lake table {self.root} has no committed version")
             dirs = [self.versions.dir_for(v)]
-        df, self.last_scan_report = pruned_scan(self.spark, self.root, dirs, predicates)
+        schema = None
+        if self.append_only:
+            # file-level scans never surface the e=<epoch> dirname (no
+            # basePath), and compacted files carry e as a data column —
+            # pin the scan schema to data columns so both file kinds
+            # project identically
+            from pyspark.sql.types import StructType
+
+            schema = StructType([f for f in self.read().schema.fields if f.name != "e"])
+        df, self.last_scan_report = pruned_scan(
+            self.spark, self.root, dirs, predicates, schema=schema
+        )
         return df
 
     def changelog(
@@ -464,6 +568,90 @@ class LakeTable:
             self.ledger.record(epoch_id, {"mode": "append"})
         if not self.append_only:
             self.versions.vacuum()
+        else:
+            self.maybe_compact_appends()
+
+    # -- append-only compaction -------------------------------------------
+    def append_stats(self) -> dict:
+        """Live storage shape of the append layout: epoch-dir count,
+        data-file count/bytes and mean file size — the small-file
+        signal the auto-policy reads. One local stat walk; on a real
+        lakehouse these are manifest columns (Iceberg
+        ``total-data-files`` / ``total-files-size``)."""
+        dirs, comp = self._live_append_dirs()
+        b = nf = 0
+        for d in dirs + ([comp] if comp else []):
+            db, df_ = _dir_stats(d)
+            b += db
+            nf += df_
+        return {
+            "n_epoch_dirs": len(dirs),
+            "compacted_gen": self._appends_manifest()["gen"],
+            "n_files": nf,
+            "bytes": b,
+            "avg_file_bytes": b / nf if nf else 0.0,
+        }
+
+    def maybe_compact_appends(self) -> dict | None:
+        """Measured auto-compaction: fold when ≥ ``compact_min_dirs``
+        epoch dirs are live AND mean file size < the configured
+        small-file threshold. Armed by ``compact_small_file_bytes``;
+        disarmed tables never pay the stat walk."""
+        if not (self.append_only and self.compact_small_file_bytes):
+            return None
+        s = self.append_stats()
+        if (
+            s["n_epoch_dirs"] >= self.compact_min_dirs
+            and s["avg_file_bytes"] < self.compact_small_file_bytes
+        ):
+            return self.compact_appends()
+        return None
+
+    def compact_appends(self, target_files: int | None = None) -> dict:
+        """Fold live epoch dirs (and the prior compacted generation)
+        into one size-targeted file set — Iceberg
+        ``rewrite_data_files`` binpack for the append layout. Content-
+        idempotent; see the class docstring for the crash protocol."""
+        if not self.append_only:
+            raise ValueError("compact_appends applies to append-only tables")
+        m = self._appends_manifest()
+        dirs, comp = self._live_append_dirs()
+        if not dirs:
+            return {"mode": "compact_appends", "noop": True}
+        before = self.append_stats()
+        if target_files is None:
+            target_files = max(
+                1, -(-before["bytes"] // self.compact_target_file_bytes)
+            )
+        snapshot = self.read()  # e=<epoch> materialized as a data column
+        gen = m["gen"] + 1
+        dest = self._compact_gen_dir(gen)
+        tmp = os.path.join(self.root, "_compacted", f"_tmp_g{gen}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(dest, ignore_errors=True)  # crashed pre-flip orphan
+        snapshot.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, dest)
+        folded = sorted(set(m["folded"]) | {os.path.basename(d) for d in dirs})
+        tmp_m = self._appends_manifest_path + ".tmp"
+        with open(tmp_m, "w") as f:
+            json.dump({"gen": gen, "folded": folded}, f)
+        os.replace(tmp_m, self._appends_manifest_path)
+        # visible flip done — everything below is best-effort cleanup
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        comp_root = os.path.join(self.root, "_compacted")
+        for n in os.listdir(comp_root):
+            if n != f"g{gen}":
+                shutil.rmtree(os.path.join(comp_root, n), ignore_errors=True)
+        return {
+            "mode": "compact_appends",
+            "gen": gen,
+            "folded_dirs": len(dirs),
+            "files_before": before["n_files"],
+            "files_after": self.append_stats()["n_files"],
+            "bytes_before": before["bytes"],
+            "bytes_after": self.append_stats()["bytes"],
+        }
 
     def merge(
         self,
@@ -570,9 +758,22 @@ class MorLakeTable:
     split into untouched (left-anti) and overlapping (left-semi); only
     the overlap ∪ deltas goes through the LWW aggregation; winners union
     back with the untouched base. Read cost grows with delta count, so
-    ``compact_every`` folds deltas into a new base version every K
-    epochs (amortized O(target/K) per epoch — tunable against write
-    amplification).
+    accumulated deltas fold into a new base version under one of two
+    triggers (amortized, tunable against write amplification):
+
+    - ``compact_every``: fixed cadence — every K epochs (the round-1
+      design, kept for callers that want deterministic schedules);
+    - ``compact_ratio``: MEASURED policy — compact when live delta
+      bytes / base bytes ≥ the ratio (and ≥ ``min_compact_deltas``
+      deltas are live). Byte stats ride the manifest (written once at
+      merge/compact time, Iceberg snapshot-summary style), so the
+      policy decision is metadata-only — no storage walk on reads. A
+      ratio policy self-adapts where a cadence can't: tiny
+      micro-batches against a huge base accumulate for a long time
+      (reads barely degrade), while a burst of heavy epochs triggers
+      promptly. ``scan_stats()`` exposes the live read-amplification
+      estimate; BENCH_COMPACT_POLICY.json records the measured trade
+      curve.
 
     Layout::
 
@@ -598,6 +799,8 @@ class MorLakeTable:
         keys: Sequence[str],
         lsn_col: str,
         compact_every: int | None = None,
+        compact_ratio: float | None = None,
+        min_compact_deltas: int = 2,
         cluster_by: Sequence[str] | None = None,
         cluster_files: int = 16,
     ):
@@ -606,6 +809,8 @@ class MorLakeTable:
         self.keys = list(keys)
         self.lsn_col = lsn_col
         self.compact_every = compact_every
+        self.compact_ratio = compact_ratio
+        self.min_compact_deltas = min_compact_deltas
         # z-order the base at compaction time (Iceberg OPTIMIZE ZORDER):
         # deltas stay fast appends; every compaction re-tightens per-file
         # bounds on all clustered dims for the footer-stats pruner
@@ -678,14 +883,57 @@ class MorLakeTable:
         out.write.mode("overwrite").parquet(self._delta_dir(seq))
         m["deltas"] = sorted(set(m["deltas"]) | {seq})
         m["next_seq"] = seq + 1
+        dbytes, _ = _dir_stats(self._delta_dir(seq))
+        m.setdefault("delta_bytes", {})[str(seq)] = dbytes
         self._write_manifest(m)
         stats = {"mode": "mor_merge", "delta_seq": seq, "n_deltas": len(m["deltas"])}
         if epoch_id is not None:
             self.ledger.record(epoch_id, stats)
-        if self.compact_every and len(m["deltas"]) >= self.compact_every:
+        stats["delta_bytes"] = dbytes
+        trigger = self._compact_trigger(m)
+        if trigger:
             stats["compacted"] = True
-            self.compact()
+            stats["compact_trigger"] = trigger
+            stats["compact_stats"] = self.compact()
         return stats
+
+    def _compact_trigger(self, m: dict) -> str | None:
+        """Which configured trigger (if any) fires on this manifest —
+        manifest-only arithmetic, no storage access."""
+        n = len(m["deltas"])
+        if self.compact_every and n >= self.compact_every:
+            return "every"
+        if self.compact_ratio is not None and n >= self.min_compact_deltas:
+            s = self.scan_stats(m)
+            if s["base_bytes"] == 0 or s["delta_ratio"] >= self.compact_ratio:
+                return "ratio"
+        return None
+
+    def scan_stats(self, m: dict | None = None) -> dict:
+        """Live storage shape of a read, off the manifest: what a
+        ``read()`` must open right now (base ∪ deltas) and the delta/
+        base byte ratio the ``compact_ratio`` policy acts on.
+        ``read_amplification`` is scan bytes over live-snapshot bytes,
+        estimating the latter as ``base_bytes`` for an updating feed
+        (deltas mostly replace base rows); the compaction bench measures
+        the true value by compacting and comparing."""
+        m = m or self._read_manifest()
+        db = m.get("delta_bytes", {})
+        missing = [s for s in m["deltas"] if str(s) not in db]
+        for s in missing:  # pre-stats manifests: backfill once
+            db[str(s)] = _dir_stats(self._delta_dir(s))[0]
+        if m.get("base_bytes") is None and m["base_v"] > 0:
+            m["base_bytes"] = _dir_stats(self._base_dir(m["base_v"]))[0]
+        base = m.get("base_bytes") or 0
+        delta = sum(db[str(s)] for s in m["deltas"])
+        return {
+            "base_bytes": base,
+            "delta_bytes": delta,
+            "n_deltas": len(m["deltas"]),
+            "scan_bytes": base + delta,
+            "delta_ratio": delta / base if base else float("inf") if delta else 0.0,
+            "read_amplification": (base + delta) / base if base else float("inf") if delta else 1.0,
+        }
 
     # -- reads -----------------------------------------------------------
     def _deltas_df(self, m: dict) -> DataFrame | None:
@@ -752,13 +1000,24 @@ class MorLakeTable:
         else:
             snapshot.write.mode("overwrite").parquet(self._base_dir(v))
         retired = m["deltas"]
-        new_m = {"base_v": v, "deltas": [], "next_seq": m["next_seq"]}
+        new_m = {
+            "base_v": v,
+            "deltas": [],
+            "next_seq": m["next_seq"],
+            "base_bytes": _dir_stats(self._base_dir(v))[0],
+            "delta_bytes": {},
+        }
         self._write_manifest(new_m)
         for s in retired:
             shutil.rmtree(self._delta_dir(s), ignore_errors=True)
         if m["base_v"] > 0:
             shutil.rmtree(self._base_dir(m["base_v"]), ignore_errors=True)
-        stats = {"mode": "compact", "base_v": v, "retired_deltas": len(retired)}
+        stats = {
+            "mode": "compact",
+            "base_v": v,
+            "retired_deltas": len(retired),
+            "base_bytes": new_m["base_bytes"],
+        }
         if epoch_id is not None:
             self.ledger.record(epoch_id, stats)
         return stats

@@ -907,7 +907,9 @@ def run_compaction_policy(parallelism: int) -> dict:
         "mor_ratio_sweep": {},
     }
     try:
-        for ratio in (0.05, 0.2, 1.0, None):
+        # each update epoch lands ~0.1× the base's bytes, so these
+        # thresholds fold every ~2nd / 5th / 10th epoch respectively
+        for ratio in (0.2, 0.5, 1.0, None):
             t = MorLakeTable(
                 spark, os.path.join(wh, f"mor_{ratio}"), keys=["k"], lsn_col="lsn",
                 compact_ratio=ratio,

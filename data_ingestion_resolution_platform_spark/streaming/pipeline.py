@@ -64,6 +64,14 @@ class CDCPipeline:
     # touches every bucket).
     target_mode: str = "cow"
     compact_every: int | None = 8
+    # measured small-file auto-compaction for the append-only audit
+    # streams (conflicts/lineage): at one dir per epoch forever, 10^4
+    # epochs mean 10^4s of tiny files on every audit read — fold when
+    # ≥ audit_compact_min_dirs dirs are live AND mean file size sits
+    # below the threshold (sources/lake.LakeTable small-file policy).
+    # min_dirs=16 keeps the short test pipelines fold-free.
+    audit_small_file_bytes: int | None = 64 << 20
+    audit_compact_min_dirs: int = 16
     # opt-in incrementally-maintained metrics table (operators/ivm.py):
     # per-stats_key row counts + content bytes kept in lock-step with
     # the target WITHOUT ever rescanning it — the epoch's pre-images
@@ -146,10 +154,18 @@ class CDCPipeline:
         # conflicts/lineage are audit streams → append-only layout,
         # O(batch) writes, no rewrite of history
         self.conflicts = LakeTable(
-            self.spark, os.path.join(self.warehouse, "conflicts"), append_only=True
+            self.spark,
+            os.path.join(self.warehouse, "conflicts"),
+            append_only=True,
+            compact_small_file_bytes=self.audit_small_file_bytes,
+            compact_min_dirs=self.audit_compact_min_dirs,
         )
         self.lineage = LakeTable(
-            self.spark, os.path.join(self.warehouse, "lineage"), append_only=True
+            self.spark,
+            os.path.join(self.warehouse, "lineage"),
+            append_only=True,
+            compact_small_file_bytes=self.audit_small_file_bytes,
+            compact_min_dirs=self.audit_compact_min_dirs,
         )
         self.stats = (
             LakeTable(self.spark, os.path.join(self.warehouse, "stats"))

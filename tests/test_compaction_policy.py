@@ -201,3 +201,36 @@ def test_scd2_store_closed_autocompact_matches_unarmed(spark, tmp_path):
     rows_a = sorted(tuple(r) for r in armed.read().select(*cols).collect())
     rows_p = sorted(tuple(r) for r in plain.read().select(*cols).collect())
     assert rows_a == rows_p
+
+
+def test_pipeline_audit_folds_keep_status_exact(spark, tmp_path):
+    """Armed audit tables fold mid-run without changing what the
+    status/lineage queries see."""
+    from data_ingestion_resolution_platform_spark.sources.feed import synth_change_feed
+    from data_ingestion_resolution_platform_spark.streaming.lineage import status_history
+    from data_ingestion_resolution_platform_spark.streaming.pipeline import CDCPipeline
+
+    feed = synth_change_feed(spark, 3000, n_repos=12, seed=21)
+    folding = CDCPipeline(
+        spark, feed_dir="unused", warehouse=str(tmp_path / "fold"),
+        audit_small_file_bytes=1 << 20, audit_compact_min_dirs=2,
+    )
+    plain = CDCPipeline(
+        spark, feed_dir="unused", warehouse=str(tmp_path / "plain"),
+        audit_small_file_bytes=None,
+    )
+    for p in (folding, plain):
+        p.replay_bounded(feed, epochs=4)
+    assert folding.lineage.append_stats()["compacted_gen"] >= 1
+    assert plain.lineage.append_stats()["compacted_gen"] == 0
+
+    def snap(p):
+        return sorted(
+            tuple(r) for r in status_history(p.lineage.read()).collect()
+        )
+
+    assert snap(folding) == snap(plain)
+    cols = sorted(c for c in plain.conflicts.read().columns if c != "e")
+    rows_f = sorted(tuple(r) for r in folding.conflicts.read().select(*cols).collect())
+    rows_p = sorted(tuple(r) for r in plain.conflicts.read().select(*cols).collect())
+    assert rows_f == rows_p

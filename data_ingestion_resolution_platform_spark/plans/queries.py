@@ -5028,6 +5028,61 @@ SQL_SKETCH_QUANTILES_INC = _qsample_sql(
 )
 
 
+def q_pipeline_maintained_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-integrated maintained quantile sample
+    (``CDCPipeline(maintain_quantiles=True)``) — the round-5 completer
+    that LIFTS ``maintain_qsample``'s insert-only contract: the per-repo
+    uniform row sample (k = 8, sampling key = the portable mixed hash of
+    the full (repo, path) natural key, ordered ASCENDING) advanced in
+    lock-step with the LWW target across 3 feed epochs of inserts,
+    updates, AND deletes.  Because it rides ``maintain_topk``'s
+    clean/dirty split, a deleted or demoted sampled key's replacement —
+    the unstored (k+1)-st smallest hash — back-fills from the logical
+    post-epoch state, group-pruned; the view therefore equals, exactly,
+    the bottom-k sample of the FINAL live table, which is what the
+    oracle recomputes one-shot from the full-feed LWW collapse.  The 25
+    paths/repo of the derived feed against k = 8 keep the truncation and
+    back-fill paths genuinely exercised (a k ≥ group size sample would
+    pass vacuously)."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.streaming.pipeline import CDCPipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wh = f"/tmp/dirp_pipeline_qs_{tag}"
+    shutil.rmtree(wh, ignore_errors=True)
+    feed = _derived_code_feed(spark, sf_dir)
+    pipe = CDCPipeline(
+        spark, feed_dir="unused", warehouse=wh, maintain_quantiles=True, quantile_k=8
+    )
+    pipe.replay_bounded(feed, epochs=3)
+    return pipe.qsample.read().select(
+        "repo", "path", F.col("qs_val").alias("clen")
+    )
+
+
+SQL_PIPELINE_QUANTILES = f"""
+WITH feed AS ({_DERIVED_FEED_SQL}),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM feed
+), s AS (
+  SELECT repo, path, CAST(length(content) AS BIGINT) AS clen,
+         repo || chr(31) || path AS ck
+  FROM w WHERE rn = 1 AND op <> 'D'
+), h0 AS (
+  SELECT repo, path, clen, {_poly_scalar_sql('ck')} AS p FROM s
+), h AS (
+  SELECT repo, path, clen, {_KMV_MIX_SQL} AS qh FROM h0
+), r AS (
+  SELECT repo, path, clen,
+         row_number() OVER (PARTITION BY repo ORDER BY qh, path) AS rk
+  FROM h
+)
+SELECT repo, path, clen FROM r WHERE rk <= 8
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5062,6 +5117,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_quantiles": q_sketch_quantiles,
     "sketch_quantiles_incremental": q_sketch_quantiles_incremental,
     "pipeline_schema_evolution": q_pipeline_schema_evolution,
+    "pipeline_maintained_quantiles": q_pipeline_maintained_quantiles,
     # -- flagship e2e queries, last hard row r03 (entry() also smoke-runs
     # cdc_apply_changes every round) --------------------------------------
     "cdc_apply_changes": q_cdc_apply_changes,
@@ -5101,11 +5157,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_prune_scan": q_zorder_prune_scan,
     "skew_salted_join": q_skew_salted_join,
     "decontaminate": q_decontaminate,
+    # ======================= driver gate window ends =======================
+    # slid below as the round-5 additions landed, each family-covered:
+    # stratified_sample / lineitem_unpivot (r03-green: train_split
+    # in-window, events_type_pivot r04-green), events_cube (r03-green:
+    # pricing_rollup — the grouping-sets sibling — r04-green),
+    # table_changes (r04-green itself: mor_merge_read + cdf_replication
+    # cover the CDF family).
     "events_cube": q_events_cube,
     "table_changes": q_table_changes,
-    # ======================= driver gate window ends =======================
-    # slid below as the round-5 sketch_quantiles pair landed (r03-green,
-    # family-covered: train_split in-window, events_type_pivot r04-green)
     "stratified_sample": q_stratified_sample,
     "lineitem_unpivot": q_lineitem_unpivot,
     # r03-green, family-redundant — displaced so the window fits the
@@ -5253,6 +5313,7 @@ ORACLES: dict[str, str] = {
     "sketch_quantiles": SQL_SKETCH_QUANTILES,
     "sketch_quantiles_incremental": SQL_SKETCH_QUANTILES_INC,
     "pipeline_schema_evolution": SQL_PIPELINE_SCHEMA_EVOLUTION,
+    "pipeline_maintained_quantiles": SQL_PIPELINE_QUANTILES,
     "sketch_distinct_kmv": SQL_SKETCH_KMV,
     "sketch_kmv_incremental": SQL_SKETCH_KMV_INC,
     "sketch_heavy_hitters": SQL_SKETCH_HH,

@@ -122,6 +122,23 @@ class CDCPipeline:
     freq_item: str = "lang"
     freq_depth: int = 4
     freq_width: int = 128
+    # opt-in incrementally-maintained per-group uniform row sample — the
+    # quantile read model that LIFTS sketch.maintain_qsample's
+    # insert-only contract: ``maintain_topk`` ordered ASCENDING on the
+    # portable hash of the full natural key.  "The k smallest key
+    # hashes of the live rows" IS a deterministic uniform bottom-k
+    # sample of the CURRENT table state (Cohen & Kaplan bottom-k
+    # sampling with the hash as the randomness), and because it rides
+    # maintain_topk's clean/dirty split it stays EXACT under updates
+    # and deletes too: a deleted sampled key's replacement — the
+    # unstored (k+1)-st smallest hash — back-fills from the logical
+    # post-epoch state pruned to the dirtied groups.  Quantiles of
+    # ``quantile_value`` read off the sample with rank error
+    # O(1/sqrt(k)); state is k rows per group regardless of table size.
+    maintain_quantiles: bool = False
+    quantile_keys: tuple[str, ...] = ("repo",)
+    quantile_value: str = "length(content)"
+    quantile_k: int = 64
 
     def __post_init__(self) -> None:
         # the CURRENT canonical feed schema — starts at the v1 contract
@@ -199,6 +216,11 @@ class CDCPipeline:
         self.freq = (
             LakeTable(self.spark, os.path.join(self.warehouse, "freq"))
             if self.maintain_freq
+            else None
+        )
+        self.qsample = (
+            LakeTable(self.spark, os.path.join(self.warehouse, "qsample"))
+            if self.maintain_quantiles
             else None
         )
         self.checkpoint = os.path.join(self.warehouse, "_checkpoint")
@@ -303,6 +325,9 @@ class CDCPipeline:
             if self.freq is not None:
                 # same contract again (pre-merge, own ledger)
                 self._maintain_freq(resolved.winners, epoch)
+            if self.qsample is not None:
+                # same contract again (pre-merge, own ledger)
+                self._maintain_quantiles(resolved.winners, epoch)
             if self.history is not None:
                 # SCD2 history from the RAW batch (every event is a
                 # potential version boundary, not just winners) —
@@ -541,6 +566,74 @@ class CDCPipeline:
             epoch_id=f"t{epoch}",
         )
 
+    def _quantiles_proj(self):
+        """Projection for the maintained sample view: group keys, rest
+        keys, the ascending-order sampling hash ``qs_h`` (portable mixed
+        hash of the FULL natural key, unit-separator joined so the
+        composite is unambiguous), and the quantile measure ``qs_val``.
+        Both extra columns are pure expressions over the key + payload
+        columns, so pre-images from the target and post-images from the
+        winners project identically."""
+        from data_ingestion_resolution_platform_spark.operators.sketch import kmv_hash
+
+        gk = list(self.quantile_keys)
+        rk = [k for k in self.keys if k not in set(gk)]
+        qs_h = kmv_hash(F.concat_ws("\x1f", *[F.col(k) for k in self.keys])).alias(
+            "qs_h"
+        )
+        qs_val = F.expr(self.quantile_value).cast("long").alias("qs_val")
+        return gk, rk, [*gk, *rk, qs_h, qs_val]
+
+    def _maintain_quantiles(self, winners: DataFrame, epoch: int) -> None:
+        """Advance the maintained per-``quantile_keys`` uniform sample by
+        this epoch's delta — ``operators/ivm.py maintain_topk`` with
+        ``descending=False`` over the key hash, so the view invariant is
+        "the k live rows with the smallest sampling hashes" (an exact
+        bottom-k sample of the post-epoch table; reference analogue: the
+        per-job summary counters its status endpoints recompute from
+        full table state, `/root/reference/backend/main.py:103-107` —
+        here as a distribution, not a count, and never rescanned).
+
+        Same invertible pre/post mini-CDF and pre-merge / own-ledger /
+        convergent-retry contract as ``_maintain_leaderboard``: the
+        back-fill base is the LOGICAL post-epoch state (target minus
+        batch keys, plus surviving winners), evaluated lazily and only
+        for groups a retraction dirtied."""
+        from data_ingestion_resolution_platform_spark.operators.ivm import maintain_topk
+
+        key_list = list(self.keys)
+        gk, rk, proj = self._quantiles_proj()
+        post = winners.filter(F.col("op") != "D").select(
+            *proj, F.lit("update_postimage").alias("change_type")
+        )
+        if self.target.exists():
+            pre = (
+                self.target.read()
+                .join(F.broadcast(winners.select(*key_list)), on=key_list, how="left_semi")
+                .select(*proj, F.lit("update_preimage").alias("change_type"))
+            )
+            changes = pre.unionByName(post)
+            base_after = (
+                self.target.read()
+                .join(F.broadcast(winners.select(*key_list)), on=key_list, how="left_anti")
+                .select(*proj)
+                .unionByName(winners.filter(F.col("op") != "D").select(*proj))
+            )
+        else:
+            changes = post
+            base_after = winners.filter(F.col("op") != "D").select(*proj)
+        maintain_topk(
+            self.qsample,
+            changes,
+            base_after,
+            gk,
+            rk,
+            "qs_h",
+            k=self.quantile_k,
+            epoch_id=f"q{epoch}",
+            descending=False,
+        )
+
     def apply_dim_changes(self, s_changes: DataFrame, epoch_id: str | int) -> dict:
         """Advance the maintained view by a DIMENSION change epoch (an
         invertible :func:`sources.lake.snapshot_diff` feed over the dim:
@@ -677,6 +770,23 @@ class CDCPipeline:
                 .drop("_rn")
             )
             self.leaderboard.merge(seed_lb, [*gk, *rk], epoch_id=f"t_{epoch_id}")
+        if self.qsample is not None:
+            # same argument as the stats seed: an unseeded sample over a
+            # snapshot-seeded target would treat the next epoch's
+            # pre-images as retractions of rows it never sampled
+            from pyspark.sql import Window
+
+            gk, rk, proj = self._quantiles_proj()
+            w = Window.partitionBy(*gk).orderBy(
+                F.col("qs_h").asc(), *[F.col(c) for c in rk]
+            )
+            seed_qs = (
+                snapshot.select(*proj)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= self.quantile_k)
+                .drop("_rn")
+            )
+            self.qsample.merge(seed_qs, [*gk, *rk], epoch_id=f"q_{epoch_id}")
         if self.freq is not None:
             # same argument as the stats seed: the next epoch's
             # pre-images would decrement cells the sketch never counted

@@ -34,7 +34,7 @@ MUST_BE_GATED = {
     "customer_set_ops", "dedup_ngram_jaccard", "latest_order_salted",
     # NEW in round 5 (first hard row)
     "sketch_quantiles", "sketch_quantiles_incremental",
-    "pipeline_schema_evolution",
+    "pipeline_schema_evolution", "pipeline_maintained_quantiles",
 }
 
 # Below-window entries must still hold a recent hard row: everything not in
@@ -43,8 +43,9 @@ MUST_BE_GATED = {
 REDUNDANT_R03_BELOW = {
     "ann_ivf", "ann_ivf_persisted", "cdc_resolve_first", "cdc_with_choices",
     "events_sessionize", "vocab_topk", "cdf_replication", "spend_deciles",
-    # slid below as the round-5 sketch_quantiles pair landed
-    "stratified_sample", "lineitem_unpivot",
+    # slid below as the round-5 additions landed (family twins in the
+    # registry comment); table_changes is r04-green, not r03
+    "stratified_sample", "lineitem_unpivot", "events_cube",
 }
 
 

@@ -1239,14 +1239,18 @@ def main() -> None:
         # Next-round #3): this VM's host throughput oscillates ±40% on
         # multi-minute timescales, and rounds 3-4 spent their verdicts
         # re-litigating which reps landed in degraded windows. The fix is
-        # structural: immediately before EACH paired rep, run the
-        # framework-free sha256 ceiling probe (no JVM, no shuffle — the
-        # N→4N scaling ANY engine could reach in that window). A rep whose
-        # window ceiling < 0.8 is recorded but marked unqualified and
-        # excluded from the headline median — the protocol qualifies
-        # windows up front instead of explaining them post-hoc. The loop
-        # keeps running (up to a bounded attempt cap) until it has the
-        # requested number of QUALIFIED reps.
+        # structural: immediately before AND after EACH paired rep, run
+        # the framework-free sha256 ceiling probe (no JVM, no shuffle —
+        # the N→4N scaling ANY engine could reach in that window); the
+        # rep's window ceiling is the WORSE of the two, so a window that
+        # collapses mid-rep (a rep takes ~5 min; the pre-probe alone
+        # cannot see that far ahead — round-5 rep 7 qualified at 0.974
+        # pre yet the 4N side ran in a throttled window) disqualifies
+        # itself. A rep whose window ceiling < 0.8 is recorded but marked
+        # unqualified and excluded from the headline median — the
+        # protocol qualifies windows up front instead of explaining them
+        # post-hoc. The loop keeps running (up to a bounded attempt cap)
+        # until it has the requested number of QUALIFIED reps.
         n = max(2, int(cpus * 0.75) // 4)
         n4 = n * 4
         want = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
@@ -1263,8 +1267,7 @@ def main() -> None:
         attempt = 0
         while attempt < max_attempts and sum(r["qualified"] for r in rep_rows) < want:
             attempt += 1
-            hw = hw_scaling_probe(n, n4, seconds=probe_s)
-            ceiling = hw["hw_efficiency"]
+            hw_pre = hw_scaling_probe(n, n4, seconds=probe_s)
             pair: dict[int, dict] = {}
             for par in (n4, n):
                 subprocess.run(["sync"], check=False)
@@ -1279,10 +1282,14 @@ def main() -> None:
                 pair[par] = r
                 if par not in best or r["events_per_sec"] > best[par]["events_per_sec"]:
                     best[par] = r
+            hw_post = hw_scaling_probe(n, n4, seconds=probe_s)
+            ceiling = min(hw_pre["hw_efficiency"], hw_post["hw_efficiency"])
             ratio = (pair[n4]["events_per_sec"] / pair[n]["events_per_sec"]) / (n4 / n)
             row = {
                 "rep": attempt,
                 "ceiling": ceiling,
+                "ceiling_pre": hw_pre["hw_efficiency"],
+                "ceiling_post": hw_post["hw_efficiency"],
                 "qualified": ceiling >= qual_thresh,
                 "ratio": round(ratio, 3),
                 "events_per_sec_n": pair[n]["events_per_sec"],

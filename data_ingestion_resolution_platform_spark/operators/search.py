@@ -211,3 +211,273 @@ def vocab_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "term", "cf", "df"
     )
+
+
+# --------------------------------------------------------------------------
+# Incrementally-maintained inverted index (round 5)
+# --------------------------------------------------------------------------
+#
+# At 100 TB the inverted index is too expensive to rebuild per ingest
+# batch — it must be MAINTAINED from the change feed, like every other
+# read model in this engine (`operators/ivm.py`). The key observation:
+# a posting list IS a grouped multiplicity view. Per (term, doc) the
+# posting's tf is the multiplicity of that term in that doc, per term
+# the document frequency df is the count of (term, doc) multiplicities
+# crossing zero, and the collection frequency cf is the signed sum of
+# token occurrences — EXACTLY the contract `ivm.maintain_distinct`
+# already implements (multiplicity side table + zero-crossing counts,
+# O(|Δ|) per epoch, base never rescanned). Maintaining the index is
+# therefore: explode each change image into a token-level change feed
+# and hand it to maintain_distinct with group=term, value=doc.
+#
+# Reference analogue: none (the reference has no search); this extends
+# its "keep every read model continuously fresh" merge discipline
+# (/root/reference/backend/services/resolution.py:36-74) to lexical
+# retrieval.
+
+
+def term_changes(
+    changes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Doc-level invertible change feed → token-level change feed.
+
+    Each image row (insert / delete / update_preimage /
+    update_postimage — deletes MUST carry the deleted text, as
+    ``LakeTable.changelog(include_preimages=True)`` guarantees)
+    explodes to one row per token occurrence carrying the image's
+    change_type; the signed per-(term, doc) sum of these is the tf
+    delta. Shuffle volume: O(tokens in the epoch's images) — never the
+    corpus.
+    """
+    return changes.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(change_col),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    )
+
+
+def seed_search_index(
+    postings_table,
+    termstats_table,
+    doclen_table,
+    stats_table,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    epoch_id: str | int = "seed",
+) -> None:
+    """One-shot build of the four index tables from a corpus snapshot
+    (the bootstrap twin of :func:`maintain_search_index`; same table
+    schemas, same ledger discipline so a later epoch can advance them).
+
+    - ``postings_table``  (term, doc_id, _mult=tf)  keys (term, doc_id)
+    - ``termstats_table`` (term, df, cf)            keys (term,)
+    - ``doclen_table``    (doc_id, dl)              keys (doc_id,)
+    - ``stats_table``     (_id=0, n_docs, sum_dl)   keys (_id,)
+    """
+    p = postings(docs, text_col, id_col)
+    termstats_table.merge(
+        p.groupBy("term").agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        ),
+        ["term"],
+        epoch_id=epoch_id,
+    )
+    postings_table.merge(
+        p.select("term", "doc_id", F.col("tf").cast("long").alias("_mult")),
+        ["term", "doc_id"],
+        epoch_id=epoch_id,
+    )
+    dls = doc_lengths(docs, text_col, id_col)
+    doclen_table.merge(dls, ["doc_id"], epoch_id=epoch_id)
+    stats_table.merge(
+        dls.agg(
+            F.lit(0).alias("_id"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        ),
+        ["_id"],
+        epoch_id=epoch_id,
+    )
+
+
+def maintain_search_index(
+    postings_table,
+    termstats_table,
+    doclen_table,
+    stats_table,
+    changes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    change_col: str = "change_type",
+    epoch_id: str | int | None = None,
+) -> dict:
+    """Advance the inverted index by one invertible change-feed epoch,
+    exactly-once — postings, per-term df/cf, doc lengths, and the
+    global (n_docs, sum_dl) scalar all track the delta; nothing
+    corpus-sized shuffles or rewrites outside touched MERGE buckets.
+
+    Plan shape: one explode over the epoch's images (token-level feed),
+    then ``ivm.maintain_distinct`` does multiplicity maintenance with
+    zero-crossing df deltas (only touched (term, doc) keys read via
+    broadcast semi-join). doclen/stats batches derive from the doc
+    images alone. Crash contract: stats and doclen commit first (their
+    batches are deterministic from the feed, so redelivery after a
+    partial crash reproduces them and their ledgers no-op); the
+    termstats-then-postings ordering inside maintain_distinct enforces
+    its own recoverability invariant.
+    """
+    from data_ingestion_resolution_platform_spark.operators.ivm import (
+        _SIGN,
+        maintain_distinct,
+    )
+
+    dl_expr = F.size(_tokens(F.col(text_col)))
+    sign = F.create_map(*[F.lit(x) for kv in _SIGN.items() for x in kv])[
+        F.col(change_col)
+    ]
+    # global scalar: Δn_docs = Σ sign over doc images, Δsum_dl likewise
+    if epoch_id is None or not stats_table.epoch_committed(epoch_id):
+        d = (
+            changes.withColumn("_sign", sign)
+            .filter(F.col("_sign").isNotNull())
+            .agg(
+                F.coalesce(F.sum("_sign"), F.lit(0)).cast("long").alias("_dn"),
+                F.coalesce(F.sum(F.col("_sign") * dl_expr), F.lit(0))
+                .cast("long")
+                .alias("_ddl"),
+            )
+            .withColumn("_id", F.lit(0))
+        )
+        if stats_table.exists():
+            cur = stats_table.read()
+            d = d.join(F.broadcast(cur), on="_id", how="left")
+        else:
+            d = d.withColumn("n_docs", F.lit(None).cast("long")).withColumn(
+                "sum_dl", F.lit(None).cast("long")
+            )
+        stats_table.merge(
+            d.select(
+                "_id",
+                (F.coalesce(F.col("n_docs"), F.lit(0)) + F.col("_dn"))
+                .cast("long")
+                .alias("n_docs"),
+                (F.coalesce(F.col("sum_dl"), F.lit(0)) + F.col("_ddl"))
+                .cast("long")
+                .alias("sum_dl"),
+            ),
+            ["_id"],
+            epoch_id=epoch_id,
+        )
+    # doc lengths: post-images upsert, delete images tombstone
+    post = changes.filter(
+        F.col(change_col).isin("insert", "update_postimage")
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        dl_expr.alias("dl"),
+        F.lit(False).alias("_del"),
+    )
+    dels = changes.filter(F.col(change_col) == "delete").select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(0).cast("int").alias("dl"),
+        F.lit(True).alias("_del"),
+    )
+    doclen_table.merge(
+        post.unionByName(dels),
+        ["doc_id"],
+        epoch_id=epoch_id,
+        delete_condition=F.col("_del"),
+        drop_cols=("_del",),
+    )
+    # postings + termstats: the grouped-multiplicity maintenance
+    return maintain_distinct(
+        postings_table,
+        termstats_table,
+        term_changes(changes, text_col, id_col, change_col),
+        ["term"],
+        "doc_id",
+        epoch_id=epoch_id,
+        change_col=change_col,
+        distinct_alias="df",
+        count_alias="cf",
+    )
+
+
+def bm25_from_index(
+    spark: SparkSession,
+    postings_table,
+    termstats_table,
+    doclen_table,
+    stats_table,
+    queries: Sequence[tuple[int, str]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k served FROM the maintained index — no corpus scan,
+    no tokenization at query time ⇒ (query_id, rank, doc_id, score),
+    value-identical to :func:`bm25_topk` over the live corpus.
+
+    Plan shape: query terms (tiny VALUES frame) broadcast against the
+    postings table — with postings written bucketed/partitioned by
+    term this is a pruned lookup, never a full index scan; df rides a
+    broadcast of the (few) matched termstats rows; the doclen join's
+    probe side is the query-hit slice, which AQE converts to broadcast
+    when small. The 1-row stats table is a broadcast scalar.
+    """
+    qterms = []
+    seen = set()
+    for qid, qtext in queries:
+        for t in _py_tokens(qtext):
+            if (qid, t) not in seen:
+                seen.add((qid, t))
+                qterms.append((qid, t))
+    qdf = local_df(spark, qterms, "query_id long, term string")
+    hits = postings_table.read().select(
+        "term", "doc_id", F.col("_mult").alias("tf")
+    ).join(F.broadcast(qdf), on="term")
+    dfreq = termstats_table.read().select("term", "df").join(
+        F.broadcast(qdf.select("term").distinct()), on="term", how="left_semi"
+    )
+    stats = F.broadcast(
+        stats_table.read().select(
+            F.col("n_docs"),
+            (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
+        )
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), on="term")
+        .join(doclen_table.read(), on="doc_id")
+        .crossJoin(stats)
+        .withColumn(
+            "_s",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("_s"), 4).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

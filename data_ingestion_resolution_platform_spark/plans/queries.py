@@ -5083,6 +5083,123 @@ SELECT repo, path, clen FROM r WHERE rk <= 8
 """
 
 
+def _maintained_search_tables(spark: SparkSession, sf_dir: str):
+    """Shared fixture for the maintained-inverted-index queries: seed
+    the four index tables (postings / termstats / doclen / stats) from
+    a derived "yesterday" corpus — 10%% of docs missing (= today's
+    inserts), every 7th doc carrying a perturbed legacy text (=
+    updates, pre+post images), ghost docs (= deletes) — then advance
+    ONE invertible change epoch whose post-state is exactly the
+    ``documents`` table, so every oracle is plain SQL over
+    ``documents``. Same fixture geometry as ``dedup_incremental``."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.search import (
+        maintain_search_index,
+        seed_search_index,
+    )
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    legacy = F.concat(F.col("text"), F.lit(" legacy legacy rewrite pending"))
+    is_upd = (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 10 != 0)
+    v1 = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text", F.when(is_upd, legacy).otherwise(F.col("text"))
+    )
+    ghosts = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.col("text").alias("text"),
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_search_idx_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    tables = tuple(
+        LakeTable(spark, f"{root}/{name}")
+        for name in ("postings", "termstats", "doclen", "stats")
+    )
+    seed_search_index(*tables, v1.unionByName(ghosts), epoch_id="seed")
+    changes = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("change_type", F.lit("insert"))
+        .unionByName(
+            docs.filter(is_upd)
+            .withColumn("text", legacy)
+            .withColumn("change_type", F.lit("update_preimage"))
+        )
+        .unionByName(
+            docs.filter(is_upd).withColumn(
+                "change_type", F.lit("update_postimage")
+            )
+        )
+        .unionByName(ghosts.withColumn("change_type", F.lit("delete")))
+    )
+    maintain_search_index(*tables, changes, epoch_id="epoch_1")
+    return tables
+
+
+def q_search_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained inverted index content after a mixed
+    insert/update/delete change epoch (``operators/search.py
+    maintain_search_index`` — postings as a grouped multiplicity view,
+    df as its zero crossings via ``ivm.maintain_distinct``, O(|Δ|) per
+    epoch, corpus never rescanned). Emits per-term stats from the
+    termstats table JOINED with an aggregate recomputed off the
+    postings table, so one hash proves the two maintained tables agree
+    with each other AND with the oracle's from-scratch rebuild over the
+    live corpus."""
+    p, ts, dl, st = _maintained_search_tables(spark, sf_dir)
+    pagg = (
+        p.read()
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("p_rows"),
+            F.sum("_mult").cast("long").alias("p_tf_sum"),
+        )
+    )
+    return ts.read().join(pagg, on="term").select(
+        "term", "df", "cf", "p_rows", "p_tf_sum"
+    )
+
+
+def _search_index_sql() -> str:
+    from data_ingestion_resolution_platform_spark.operators.search import (
+        TOKEN_SPLIT_REGEX,
+    )
+
+    split = f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_REGEX}'), x -> x <> '')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({split}) AS term FROM documents
+),
+agg AS (
+  SELECT term,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS cf
+  FROM toks GROUP BY term
+)
+SELECT term, df, cf, df AS p_rows, cf AS p_tf_sum FROM agg
+"""
+
+
+SQL_SEARCH_INDEX_MAINTAINED = _search_index_sql()
+
+
+def q_bm25_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 served FROM the maintained index — no corpus scan or
+    tokenization at query time: postings give tf, termstats give df,
+    doclen/stats give the length normalization; the scoring plan
+    broadcasts the query terms against the postings table (a pruned
+    lookup when postings are bucketed by term at scale). Must equal,
+    exactly, BM25 over the live corpus — the oracle is the same SQL the
+    from-scratch ``bm25_search`` query is gated on."""
+    from data_ingestion_resolution_platform_spark.operators.search import (
+        bm25_from_index,
+    )
+
+    p, ts, dl, st = _maintained_search_tables(spark, sf_dir)
+    return bm25_from_index(spark, p, ts, dl, st, BM25_QUERIES, k=BM25_K)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5118,6 +5235,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_quantiles_incremental": q_sketch_quantiles_incremental,
     "pipeline_schema_evolution": q_pipeline_schema_evolution,
     "pipeline_maintained_quantiles": q_pipeline_maintained_quantiles,
+    "search_index_maintained": q_search_index_maintained,
+    "bm25_maintained": q_bm25_maintained,
     # -- flagship e2e queries, last hard row r03 (entry() also smoke-runs
     # cdc_apply_changes every round) --------------------------------------
     "cdc_apply_changes": q_cdc_apply_changes,
@@ -5155,9 +5274,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "bucketed_join": q_bucketed_join,
     "zorder_prune_scan": q_zorder_prune_scan,
+    # ======================= driver gate window ends =======================
+    # slid below as the round-5 maintained-search pair landed, both
+    # r04-green and family-covered in-window (skew two-phase rides
+    # latest_order_salted; decontaminate's distinct-gram broadcast shape
+    # rides dedup_ngram_jaccard):
     "skew_salted_join": q_skew_salted_join,
     "decontaminate": q_decontaminate,
-    # ======================= driver gate window ends =======================
     # slid below as the round-5 additions landed, each family-covered:
     # stratified_sample / lineitem_unpivot (r03-green: train_split
     # in-window, events_type_pivot r04-green), events_cube (r03-green:
@@ -5314,6 +5437,8 @@ ORACLES: dict[str, str] = {
     "sketch_quantiles_incremental": SQL_SKETCH_QUANTILES_INC,
     "pipeline_schema_evolution": SQL_PIPELINE_SCHEMA_EVOLUTION,
     "pipeline_maintained_quantiles": SQL_PIPELINE_QUANTILES,
+    "search_index_maintained": SQL_SEARCH_INDEX_MAINTAINED,
+    "bm25_maintained": SQL_BM25_SEARCH,
     "sketch_distinct_kmv": SQL_SKETCH_KMV,
     "sketch_kmv_incremental": SQL_SKETCH_KMV_INC,
     "sketch_heavy_hitters": SQL_SKETCH_HH,

@@ -35,6 +35,7 @@ MUST_BE_GATED = {
     # NEW in round 5 (first hard row)
     "sketch_quantiles", "sketch_quantiles_incremental",
     "pipeline_schema_evolution", "pipeline_maintained_quantiles",
+    "search_index_maintained", "bm25_maintained",
 }
 
 # Below-window entries must still hold a recent hard row: everything not in

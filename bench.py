@@ -488,6 +488,132 @@ def run_cms_growth(parallelism: int) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_search_growth(parallelism: int) -> dict:
+    """Maintained-inverted-index growth sweep: does a FIXED change
+    epoch's index maintenance cost track the epoch or the corpus — and
+    how much does the postings TABLE BACKEND matter?
+
+    Three plan shapes over the same logical index advance:
+    - REBUILD: seed_search_index from scratch — O(corpus) tokenize +
+      full shuffle + full write; grows linearly.
+    - MAINTAIN/COW: maintain_search_index with postings+doclen in plain
+      ``LakeTable`` — the delta aggregation is O(Δ) but every epoch's
+      MERGE rewrites the whole postings file set (COW), so write cost
+      grows with the index.
+    - MAINTAIN/MoR: same maintenance with postings+doclen in
+      ``MorLakeTable`` (ratio-triggered compaction) — each epoch
+      appends one O(Δ) delta; the full-index rewrite cost moves to
+      amortized compaction. This is the 100 TB configuration.
+
+    The epoch is a constant 500-doc net-zero pre/post pair set (state-
+    invariant, so repeated applies measure identical work). termstats /
+    stats stay COW everywhere (vocabulary-sized / 1 row)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_resolution_platform_spark.operators.search import (
+        maintain_search_index,
+        seed_search_index,
+    )
+    from data_ingestion_resolution_platform_spark.session import get_spark
+    from data_ingestion_resolution_platform_spark.sources.lake import (
+        LakeTable,
+        MorLakeTable,
+    )
+
+    spark = get_spark("bench_search_growth", parallelism=parallelism)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base_n = base.count()
+    reps = [int(x) for x in os.environ.get("SPARK_GRAFT_SEARCH_REPLICAS", "1,16,64").split(",")]
+    n_maintain = int(os.environ.get("SPARK_GRAFT_SEARCH_MAINTAIN_REPS", "3"))
+    epoch_docs = base.orderBy("doc_id").limit(500)
+    changes = (
+        epoch_docs.withColumn("change_type", F.lit("update_preimage"))
+        .unionByName(epoch_docs.withColumn("change_type", F.lit("update_postimage")))
+        .persist()
+    )
+    changes.count()
+    wh = tempfile.mkdtemp(
+        prefix="bench_searchg_", dir=os.environ.get("SPARK_GRAFT_BENCH_DIR") or None
+    )
+    out: dict = {
+        "metric": "search_index_epoch_cost_vs_corpus_growth",
+        "base_rows": base_n,
+        "epoch_docs": 500,
+        "parallelism": parallelism,
+        "sizes": [],
+    }
+
+    def cow_tables(root):
+        return tuple(
+            LakeTable(spark, os.path.join(root, n))
+            for n in ("postings", "termstats", "doclen", "stats")
+        )
+
+    def mor_tables(root):
+        return (
+            MorLakeTable(
+                spark, os.path.join(root, "postings"), ["term", "doc_id"],
+                "_mult", compact_ratio=0.3,
+            ),
+            LakeTable(spark, os.path.join(root, "termstats")),
+            MorLakeTable(
+                spark, os.path.join(root, "doclen"), ["doc_id"], "dl",
+                compact_ratio=0.3,
+            ),
+            LakeTable(spark, os.path.join(root, "stats")),
+        )
+
+    try:
+        # untimed JVM/codegen warmup: a throwaway seed+maintain on a tiny
+        # corpus so the first timed size doesn't absorb startup cost
+        warm = cow_tables(os.path.join(wh, "warmup"))
+        seed_search_index(*warm, base.limit(50), epoch_id="seed")
+        maintain_search_index(*warm, changes, epoch_id=None)
+        for k_rep in reps:
+            corpus = (
+                base.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(k_rep - 1))))
+                .select(
+                    (
+                        F.col("doc_id")
+                        + F.col("r").cast("long") * F.lit(100_000_000).cast("long")
+                    ).alias("doc_id"),
+                    "text",
+                )
+            )
+            row: dict = {"replicas": k_rep, "docs": base_n * k_rep}
+            for flavor, mk in (("cow", cow_tables), ("mor", mor_tables)):
+                tables = mk(os.path.join(wh, f"{flavor}_{k_rep}"))
+                t0 = time.time()
+                seed_search_index(*tables, corpus, epoch_id="seed")
+                if flavor == "cow":
+                    row["rebuild_s"] = round(time.time() - t0, 3)
+                    row["postings_rows"] = tables[0].read().count()
+                # untimed warmup apply (codegen + worker warmup)
+                maintain_search_index(*tables, changes, epoch_id=None)
+                secs = []
+                for _ in range(n_maintain):
+                    t0 = time.time()
+                    maintain_search_index(*tables, changes, epoch_id=None)
+                    secs.append(round(time.time() - t0, 3))
+                row[f"maintain_{flavor}_secs"] = secs
+                row[f"maintain_{flavor}_median_s"] = sorted(secs)[len(secs) // 2]
+            out["sizes"].append(row)
+        s0, s1 = out["sizes"][0], out["sizes"][-1]
+        out["corpus_growth"] = round(s1["docs"] / s0["docs"], 2)
+        out["rebuild_growth"] = round(s1["rebuild_s"] / max(s0["rebuild_s"], 1e-9), 2)
+        for flavor in ("cow", "mor"):
+            out[f"maintain_{flavor}_growth"] = round(
+                s1[f"maintain_{flavor}_median_s"]
+                / max(s0[f"maintain_{flavor}_median_s"], 1e-9),
+                2,
+            )
+        return out
+    finally:
+        changes.unpersist()
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def run_qsample_growth(parallelism: int) -> dict:
     """Quantile-sketch growth sweep (r4 verdict Next-round #2): does a
     FIXED insert epoch's maintenance cost track the epoch or the corpus?
@@ -1113,6 +1239,9 @@ HEADLINE = [
     "ann_ivf_incremental",
     # final round-4 session: mergeable sketches
     "sketch_distinct_kmv",
+    # round 5: quantile-sketch triad completer + maintained pipeline sample
+    "sketch_quantiles",
+    "pipeline_maintained_quantiles",
 ]
 
 
@@ -1353,6 +1482,10 @@ def main() -> None:
 
     if "--qsample-growth" in sys.argv:
         print(json.dumps(run_qsample_growth(cpus)))
+        return
+
+    if "--search-growth" in sys.argv:
+        print(json.dumps(run_search_growth(cpus)))
         return
 
     if "--ann-recall" in sys.argv:

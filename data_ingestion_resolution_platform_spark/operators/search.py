@@ -374,24 +374,21 @@ def maintain_search_index(
             epoch_id=epoch_id,
         )
     # doc lengths: post-images upsert, delete images tombstone
+    # deletes ride a sentinel dl = -1 (a real document's dl is ≥ 0), so
+    # the batch schema is backend-portable: plain COW LakeTable, MoR,
+    # and bucketed tables all accept (batch, keys, delete_condition)
+    # with no marker column to drop
     post = changes.filter(
         F.col(change_col).isin("insert", "update_postimage")
-    ).select(
-        F.col(id_col).alias("doc_id"),
-        dl_expr.alias("dl"),
-        F.lit(False).alias("_del"),
-    )
+    ).select(F.col(id_col).alias("doc_id"), dl_expr.alias("dl"))
     dels = changes.filter(F.col(change_col) == "delete").select(
-        F.col(id_col).alias("doc_id"),
-        F.lit(0).cast("int").alias("dl"),
-        F.lit(True).alias("_del"),
+        F.col(id_col).alias("doc_id"), F.lit(-1).cast("int").alias("dl")
     )
     doclen_table.merge(
         post.unionByName(dels),
         ["doc_id"],
         epoch_id=epoch_id,
-        delete_condition=F.col("_del"),
-        drop_cols=("_del",),
+        delete_condition=F.col("dl") < 0,
     )
     # postings + termstats: the grouped-multiplicity maintenance
     return maintain_distinct(

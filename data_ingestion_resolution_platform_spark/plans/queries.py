@@ -5200,6 +5200,93 @@ def q_bm25_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_from_index(spark, p, ts, dl, st, BM25_QUERIES, k=BM25_K)
 
 
+def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS maintained incrementally through one CDC epoch
+    (`operators/graph_incremental.py`): labels + surviving-pair stores
+    are seeded from a derived "yesterday" corpus (10% of docs missing =
+    today's inserts; every 7th doc carrying a perturbed legacy text =
+    today's updates; ghost exact-dup docs = today's deletes), then ONE
+    epoch advances them — only the affected components are relabeled
+    (broadcast-pruned probes of the corpus-sized stores, O(Δ +
+    affected) work), ghost removals split their components, and both
+    MERGEs ride the exactly-once ledger. The final labels table must
+    equal the batch full recompute over the post-epoch corpus — which
+    is exactly `dedup_clusters`'s recursive-CTE oracle."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.graph_incremental import (
+        build_cluster_state,
+        maintain_clusters,
+    )
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    legacy = F.concat(F.col("text"), F.lit(" legacy legacy rewrite pending"))
+    v1 = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, legacy).otherwise(F.col("text")),
+    )
+    ghosts = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    seed_corpus = v1.unionByName(ghosts)
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_cc_state_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    labels = LakeTable(spark, os.path.join(root, "labels"))
+    edges = LakeTable(spark, os.path.join(root, "edges"))
+    build_cluster_state(
+        labels,
+        edges,
+        ngram_jaccard(seed_corpus, "text", "doc_id", threshold=0.5),
+        seed_corpus,
+        epoch_id="seed",
+    )
+
+    changed = docs.filter((F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 7 == 0))
+    removed = ghosts.select("doc_id")
+    # Δ pairs: post-epoch Jaccard pairs touching a changed doc — the
+    # changed side is Δ-sized, the corpus side is probed through the
+    # same length-bucket blocking as the batch operator (at true scale
+    # this comes off the maintained LSH index instead).
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    )
+    base = docs.select(
+        F.col("doc_id").alias("doc"),
+        toks.alias("toks"),
+        (F.length("text") / 100).cast("int").alias("blk"),
+    ).localCheckpoint(eager=False)
+    ch = base.join(
+        F.broadcast(changed.select(F.col("doc_id").alias("doc"))), on="doc"
+    )
+    inter = F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks")))
+    union = F.size(F.array_distinct(F.concat(F.col("l.toks"), F.col("r.toks"))))
+    delta = (
+        ch.alias("l")
+        .join(
+            base.alias("r"),
+            (F.col("l.blk") == F.col("r.blk")) & (F.col("l.doc") != F.col("r.doc")),
+        )
+        .filter((inter.cast("double") / union.cast("double")) >= 0.5)
+        .select(
+            F.least("l.doc", "r.doc").alias("id_a"),
+            F.greatest("l.doc", "r.doc").alias("id_b"),
+        )
+        .distinct()
+    )
+    maintain_clusters(
+        labels, edges, delta, changed.select("doc_id"), removed, epoch_id="e1"
+    )
+
+    lab = labels.read().select(F.col("id").alias("doc_id"), "cluster_id")
+    w = Window.partitionBy("cluster_id")
+    return lab.select(
+        "doc_id", "cluster_id", F.count("*").over(w).alias("cluster_size")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5237,6 +5324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_maintained_quantiles": q_pipeline_maintained_quantiles,
     "search_index_maintained": q_search_index_maintained,
     "bm25_maintained": q_bm25_maintained,
+    "dedup_clusters_incremental": q_dedup_clusters_incremental,
     # -- flagship e2e queries, last hard row r03 (entry() also smoke-runs
     # cdc_apply_changes every round) --------------------------------------
     "cdc_apply_changes": q_cdc_apply_changes,
@@ -5439,6 +5527,7 @@ ORACLES: dict[str, str] = {
     "pipeline_maintained_quantiles": SQL_PIPELINE_QUANTILES,
     "search_index_maintained": SQL_SEARCH_INDEX_MAINTAINED,
     "bm25_maintained": SQL_BM25_SEARCH,
+    "dedup_clusters_incremental": SQL_DEDUP_CLUSTERS,
     "sketch_distinct_kmv": SQL_SKETCH_KMV,
     "sketch_kmv_incremental": SQL_SKETCH_KMV_INC,
     "sketch_heavy_hitters": SQL_SKETCH_HH,

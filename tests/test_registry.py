@@ -36,6 +36,7 @@ MUST_BE_GATED = {
     "sketch_quantiles", "sketch_quantiles_incremental",
     "pipeline_schema_evolution", "pipeline_maintained_quantiles",
     "search_index_maintained", "bm25_maintained",
+    "dedup_clusters_incremental",
 }
 
 # Below-window entries must still hold a recent hard row: everything not in
@@ -47,6 +48,9 @@ REDUNDANT_R03_BELOW = {
     # slid below as the round-5 additions landed (family twins in the
     # registry comment); table_changes is r04-green, not r03
     "stratified_sample", "lineitem_unpivot", "events_cube",
+    # slid below when dedup_clusters_incremental landed: its data-skipping
+    # family twins (lake_prune_scan, bloom_prune_scan) remain in-window
+    "zorder_prune_scan",
 }
 
 

@@ -728,6 +728,151 @@ def run_qsample_growth(parallelism: int) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def run_cc_growth(parallelism: int) -> dict:
+    """Maintained-dup-cluster growth sweep: does a FIXED change epoch's
+    cluster maintenance cost track the affected components or the
+    corpus?
+
+    The graph is synthesized directly (chains of 5 — many small
+    components, the dup-cluster shape) because the operator under
+    measurement is `graph_incremental.maintain_clusters`, not pair
+    generation. Each epoch is held constant: 128 new docs each bridging
+    two existing components + 128 deletes that split their chains —
+    O(hundreds) affected components at every corpus size. REBUILD is
+    the full `connected_components` run batch mode would pay per
+    delivery (grows with N). MAINTAIN is measured on both store
+    backends: plain COW (epoch compute is Δ-sized but the labels
+    rewrite is O(N) — the honest reason the 100 TB deployment buckets)
+    and PartitionedLakeTable (touched-bucket rewrites — the scale
+    configuration). A final exceptAll parity check against the full
+    recompute guards the sweep's correctness."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_resolution_platform_spark.operators.graph import (
+        connected_components,
+    )
+    from data_ingestion_resolution_platform_spark.operators.graph_incremental import (
+        build_cluster_state,
+        maintain_clusters,
+    )
+    from data_ingestion_resolution_platform_spark.session import get_spark
+    from data_ingestion_resolution_platform_spark.sources.lake import (
+        LakeTable,
+        PartitionedLakeTable,
+    )
+
+    spark = get_spark("bench_cc_growth", parallelism=parallelism)
+    n0 = int(os.environ.get("SPARK_GRAFT_CC_NODES", "100000"))
+    reps = [int(x) for x in os.environ.get("SPARK_GRAFT_CC_REPLICAS", "1,4,16").split(",")]
+    backends = os.environ.get("SPARK_GRAFT_CC_BACKENDS", "cow,bucketed").split(",")
+    n_epochs = int(os.environ.get("SPARK_GRAFT_CC_EPOCHS", "3"))
+    n_delta = 128
+
+    def chain_edges(n: int):
+        return (
+            spark.range(n)
+            .filter(F.col("id") % 5 != 4)
+            .filter(F.col("id") + 1 < n)
+            .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        )
+
+    def nodes_df(n: int):
+        return spark.range(n).select(F.col("id").alias("doc_id"))
+
+    wh = tempfile.mkdtemp(
+        prefix="bench_ccg_", dir=os.environ.get("SPARK_GRAFT_BENCH_DIR") or None
+    )
+    out: dict = {
+        "metric": "cc_epoch_cost_vs_corpus_growth",
+        "base_nodes": n0,
+        "delta_per_epoch": {"bridges": n_delta, "deletes": n_delta},
+        "epochs": n_epochs,
+        "parallelism": parallelism,
+        "sizes": [],
+    }
+    try:
+        for k_rep in reps:
+            n = n0 * k_rep
+            stride = n // n_delta
+            entry: dict = {"replicas": k_rep, "nodes": n}
+            for backend in backends:
+                root = os.path.join(wh, f"{backend}_{k_rep}")
+                if backend == "bucketed":
+                    labels = PartitionedLakeTable(
+                        spark, root + "/labels", ["id"], n_buckets=32
+                    )
+                    edges = PartitionedLakeTable(
+                        spark, root + "/edges", ["id_a", "id_b"], n_buckets=32
+                    )
+                else:
+                    labels = LakeTable(spark, root + "/labels")
+                    edges = LakeTable(spark, root + "/edges")
+                build_cluster_state(
+                    labels, edges, chain_edges(n), nodes_df(n), epoch_id="seed"
+                )
+                secs = []
+                for j in range(1, n_epochs + 1):
+                    # removals ≡ j (mod stride) split their chains; bridge
+                    # endpoints ≡ 0 and 7 (mod stride) stay disjoint from
+                    # every rep's removals
+                    rm = spark.range(n_delta).select(
+                        (F.col("id") * stride + j).alias("doc_id")
+                    )
+                    new_ids = spark.range(n_delta).select(
+                        (F.lit(n) + (j - 1) * n_delta + F.col("id")).alias("doc_id")
+                    )
+                    a = spark.range(n_delta).select(
+                        (F.lit(n) + (j - 1) * n_delta + F.col("id")).alias("id_a"),
+                        (F.col("id") * stride).alias("id_b"),
+                    )
+                    b = spark.range(n_delta).select(
+                        (F.lit(n) + (j - 1) * n_delta + F.col("id")).alias("id_a"),
+                        (F.col("id") * stride + 7).alias("id_b"),
+                    )
+                    delta = a.unionByName(b)
+                    t0 = time.monotonic()
+                    maintain_clusters(
+                        labels, edges, delta, new_ids, rm, epoch_id=f"e{j}"
+                    )
+                    secs.append(round(time.monotonic() - t0, 3))
+                entry[f"maintain_{backend}_secs"] = secs
+                entry[f"maintain_{backend}_median_s"] = sorted(secs)[len(secs) // 2]
+                if backend == backends[0]:
+                    # rebuild arm + parity, measured once per size
+                    live_edges = edges.read().select("id_a", "id_b")
+                    live_nodes = labels.read().select(F.col("id").alias("doc_id"))
+                    t0 = time.monotonic()
+                    cc = connected_components(
+                        live_edges, "id_a", "id_b", id_out="id"
+                    )
+                    full = (
+                        live_nodes.select(F.col("doc_id").alias("id"))
+                        .join(cc, on="id", how="left")
+                        .select(
+                            "id",
+                            F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+                        )
+                    ).localCheckpoint(eager=True)
+                    entry["rebuild_s"] = round(time.monotonic() - t0, 3)
+                    got = labels.read().select("id", "cluster_id")
+                    entry["parity_ok"] = (
+                        got.exceptAll(full).count() == 0
+                        and full.exceptAll(got).count() == 0
+                    )
+                    entry["edges_rows"] = live_edges.count()
+            out["sizes"].append(entry)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    s0, s1 = out["sizes"][0], out["sizes"][-1]
+    out["corpus_growth"] = round(s1["nodes"] / s0["nodes"], 2)
+    out["rebuild_growth"] = round(s1["rebuild_s"] / s0["rebuild_s"], 2)
+    for backend in backends:
+        k = f"maintain_{backend}_median_s"
+        if k in s0 and k in s1:
+            out[f"maintain_{backend}_growth"] = round(s1[k] / s0[k], 2)
+    return out
+
+
 def run_ann_recall(parallelism: int) -> dict:
     """ANN recall/cost frontier (r4 verdict Next-round #5): recall@10
     vs scan fraction across n_probe x n_cells for BOTH codebooks
@@ -1242,6 +1387,8 @@ HEADLINE = [
     # round 5: quantile-sketch triad completer + maintained pipeline sample
     "sketch_quantiles",
     "pipeline_maintained_quantiles",
+    # late round 5: maintained dup clusters
+    "dedup_clusters_incremental",
 ]
 
 
@@ -1486,6 +1633,10 @@ def main() -> None:
 
     if "--search-growth" in sys.argv:
         print(json.dumps(run_search_growth(cpus)))
+        return
+
+    if "--cc-growth" in sys.argv:
+        print(json.dumps(run_cc_growth(cpus)))
         return
 
     if "--ann-recall" in sys.argv:

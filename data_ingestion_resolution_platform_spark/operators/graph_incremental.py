@@ -103,7 +103,9 @@ def build_cluster_state(
         .select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
     )
     stats_l = labels.merge(full, ["id"], epoch_id=epoch_id)
-    stats_e = edges.merge(canon, ["id_a", "id_b"], epoch_id=epoch_id)
+    stats_e = edges.merge(
+        canon.withColumn("alive", F.lit(True)), ["id_a", "id_b"], epoch_id=epoch_id
+    )
     return {"labels": stats_l, "edges": stats_e}
 
 
@@ -172,7 +174,7 @@ def maintain_clusters(
     # (small) scope-node set; drop every pair touching a changed doc —
     # its current pairs, if any, are in delta.
     stale_ends = up.unionByName(rm).localCheckpoint(eager=False)
-    old_edges = edges.read() if edges.exists() else None
+    old_edges = edges.read().select("id_a", "id_b") if edges.exists() else None
     if old_edges is not None:
         scoped_old = old_edges.join(
             F.broadcast(scan_nodes.select(F.col("id").alias("id_a"))), on="id_a"
@@ -203,26 +205,30 @@ def maintain_clusters(
         .select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
     )
 
-    # one keyed batch per store: upserts + delete-marked rows
-    label_batch = relabeled.withColumn("_del", F.lit(False)).unionByName(
-        rm.select("id", F.lit(0).cast("long").alias("cluster_id"), F.lit(True).alias("_del"))
+    # one keyed batch per store, backend-portable (COW, MoR, bucketed all
+    # accept (batch, keys, delete_condition) — no marker columns that
+    # would need dropping): label deletes ride the sentinel
+    # cluster_id = -1 (doc ids are non-negative by contract, so a real
+    # label is always ≥ 0); edge deletes ride alive = false (upserted
+    # pairs are always alive, so the stored column is constant true and
+    # never read back).
+    label_batch = relabeled.unionByName(
+        rm.select("id", F.lit(-1).cast("long").alias("cluster_id"))
     )
     stats_l = labels.merge(
         label_batch,
         ["id"],
         epoch_id=epoch_id,
-        delete_condition=F.col("_del"),
-        drop_cols=["_del"],
+        delete_condition=F.col("cluster_id") < 0,
     )
-    edge_batch = delta.withColumn("_del", F.lit(False)).unionByName(
+    edge_batch = delta.withColumn("alive", F.lit(True)).unionByName(
         stale.join(delta.hint("broadcast"), on=["id_a", "id_b"], how="left_anti")
-        .withColumn("_del", F.lit(True))
+        .withColumn("alive", F.lit(False))
     )
     stats_e = edges.merge(
         edge_batch,
         ["id_a", "id_b"],
         epoch_id=epoch_id,
-        delete_condition=F.col("_del"),
-        drop_cols=["_del"],
+        delete_condition=~F.col("alive"),
     )
     return {"labels": stats_l, "edges": stats_e, "epoch": str(epoch_id)}

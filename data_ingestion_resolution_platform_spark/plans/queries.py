@@ -1402,6 +1402,37 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 session windows under Structured Streaming: the one
+    windowing shape the tumbling/interval-join queries don't cover —
+    ``F.session_window`` state-store sessions that MERGE across
+    micro-batches (2 files/trigger ⇒ a user's session can arrive split
+    over batches and must coalesce in the state store, not in a window
+    function). availableNow drain, complete mode; watermark delay
+    exceeds the data span so no session is evicted regardless of file
+    arrival order (eviction under controlled arrival is pytest-covered
+    by the stream-stream join suite). Final state must equal the batch
+    gaps-and-islands oracle exactly — the same SQL the batch
+    ``events_session_window`` query is gated on."""
+    stream = _file_stream(spark, sf_dir, "sess")
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "3650 days")
+        .groupBy(
+            F.session_window(F.col("ts"), "1800 seconds").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("w_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "stream_sess", "complete")
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 stream-static enrichment under the driver gate: the event
     stream joins a static broadcast dimension (customer segment) inside
@@ -5236,13 +5267,14 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     labels = LakeTable(spark, os.path.join(root, "labels"))
     edges = LakeTable(spark, os.path.join(root, "edges"))
-    build_cluster_state(
-        labels,
-        edges,
-        ngram_jaccard(seed_corpus, "text", "doc_id", threshold=0.5),
-        seed_corpus,
-        epoch_id="seed",
-    )
+    with fixture_phase():
+        build_cluster_state(
+            labels,
+            edges,
+            ngram_jaccard(seed_corpus, "text", "doc_id", threshold=0.5),
+            seed_corpus,
+            epoch_id="seed",
+        )
 
     changed = docs.filter((F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 7 == 0))
     removed = ghosts.select("doc_id")
@@ -5325,6 +5357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_index_maintained": q_search_index_maintained,
     "bm25_maintained": q_bm25_maintained,
     "dedup_clusters_incremental": q_dedup_clusters_incremental,
+    "stream_session_window": q_stream_session_window,
     # -- flagship e2e queries, last hard row r03 (entry() also smoke-runs
     # cdc_apply_changes every round) --------------------------------------
     "cdc_apply_changes": q_cdc_apply_changes,
@@ -5528,6 +5561,7 @@ ORACLES: dict[str, str] = {
     "search_index_maintained": SQL_SEARCH_INDEX_MAINTAINED,
     "bm25_maintained": SQL_BM25_SEARCH,
     "dedup_clusters_incremental": SQL_DEDUP_CLUSTERS,
+    "stream_session_window": SQL_SESSION_WINDOW,
     "sketch_distinct_kmv": SQL_SKETCH_KMV,
     "sketch_kmv_incremental": SQL_SKETCH_KMV_INC,
     "sketch_heavy_hitters": SQL_SKETCH_HH,

@@ -158,6 +158,36 @@ def test_redelivered_epoch_skips(spark, stores):
     _assert_state(labels, _expected(spark, [1, 2, 3], [(1, 2), (2, 3)]))
 
 
+def test_bucketed_backend_portability(spark, tmp_path):
+    """Same epoch over PartitionedLakeTable stores — the 100 TB backend
+    where MERGE rewrites only touched buckets. The sentinel-encoded
+    batches (cluster_id = -1 / alive = false) must behave identically."""
+    from data_ingestion_resolution_platform_spark.sources.lake import (
+        PartitionedLakeTable,
+    )
+
+    root = str(tmp_path / "ccb")
+    labels = PartitionedLakeTable(spark, root + "/labels", ["id"], n_buckets=4)
+    edges = PartitionedLakeTable(
+        spark, root + "/edges", ["id_a", "id_b"], n_buckets=4
+    )
+    build_cluster_state(
+        labels, edges, _pairs(spark, [(1, 2), (2, 3), (7, 8)]), _ids(spark, [1, 2, 3, 7, 8])
+    )
+    # doc 2 deleted (splits the chain), doc 9 arrives bridging 3 and 7
+    maintain_clusters(
+        labels,
+        edges,
+        _pairs(spark, [(3, 9), (7, 9)]),
+        _ids(spark, [9]),
+        _ids(spark, [2]),
+        epoch_id="e1",
+    )
+    _assert_state(labels, _expected(spark, [1, 3, 7, 8, 9], [(3, 9), (7, 9), (7, 8)]))
+    surviving = {(r.id_a, r.id_b) for r in edges.read().collect()}
+    assert surviving == {(3, 9), (7, 9), (7, 8)}
+
+
 def test_crash_replay_between_commits_converges(spark, stores):
     """Labels committed, edges commit crashed → re-delivery must land the
     identical edge batch and leave both stores at the full-recompute

@@ -36,7 +36,7 @@ MUST_BE_GATED = {
     "sketch_quantiles", "sketch_quantiles_incremental",
     "pipeline_schema_evolution", "pipeline_maintained_quantiles",
     "search_index_maintained", "bm25_maintained",
-    "dedup_clusters_incremental",
+    "dedup_clusters_incremental", "stream_session_window",
 }
 
 # Below-window entries must still hold a recent hard row: everything not in
@@ -48,9 +48,11 @@ REDUNDANT_R03_BELOW = {
     # slid below as the round-5 additions landed (family twins in the
     # registry comment); table_changes is r04-green, not r03
     "stratified_sample", "lineitem_unpivot", "events_cube",
-    # slid below when dedup_clusters_incremental landed: its data-skipping
-    # family twins (lake_prune_scan, bloom_prune_scan) remain in-window
-    "zorder_prune_scan",
+    # slid below when dedup_clusters_incremental / stream_session_window
+    # landed: zorder's data-skipping family twins (lake_prune_scan,
+    # bloom_prune_scan) remain in-window; bucketed storage stays driven by
+    # mor_merge_read in-window plus the bucketed-backend pytest suites
+    "zorder_prune_scan", "bucketed_join",
 }
 
 
@@ -142,6 +144,8 @@ def _uncast_sums(sql: str) -> int:
 _REVIEWED_UNCAST = {
     "orders_above_cust_avg": 1,
     "events_session_window": 1,
+    # same SQL_SESSION_WINDOW oracle, reused by the streaming twin
+    "stream_session_window": 1,
     "pipeline_epoch_status": 1,
     "pagerank": 10,
     "repetition_stats": 1,

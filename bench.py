@@ -1387,8 +1387,10 @@ HEADLINE = [
     # round 5: quantile-sketch triad completer + maintained pipeline sample
     "sketch_quantiles",
     "pipeline_maintained_quantiles",
-    # late round 5: maintained dup clusters
-    "dedup_clusters_incremental",
+    # dedup_clusters_incremental is deliberately NOT here: its sf0.1 run is
+    # fixture-dominated (~30 s full-corpus seed before the epoch) and its
+    # performance evidence is the dedicated --cc-growth sweep
+    # (BENCH_CC_GROWTH.json), not a per-query wall time.
 ]
 
 

@@ -5332,10 +5332,12 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 42 r03-signal entries — the 8 most family-redundant r03 greens stay
 # below (each has an in-window or r04-green family twin; see the
 # below-window comment).  Round-5 additions (sketch_quantiles family,
-# pipeline_schema_evolution) are inserted just after the never-gated block
-# as they land, sliding the window's last slots (table_changes /
-# stratified_sample / lineitem_unpivot — all r03-green, family-covered)
-# below the line.  tests/test_registry.py pins this.
+# pipeline_schema_evolution, maintained search index, maintained dup
+# clusters, streaming session windows) are inserted just after the
+# never-gated block as they land, sliding the window's last slots
+# (table_changes / stratified_sample / lineitem_unpivot / zorder_prune_scan
+# / bucketed_join — all r03-green, family-covered) below the line.
+# tests/test_registry.py pins this.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-gated: first hard row this round -------------------
     "ann_ivf_inc_partitioned": q_ann_ivf_inc_partitioned,

@@ -80,6 +80,17 @@ def _ids(df: DataFrame, col: str) -> DataFrame:
     return df.select(F.col(col).alias("id"))
 
 
+def _canon_pairs(df: DataFrame) -> DataFrame:
+    return (
+        df.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+
+
 def build_cluster_state(
     labels,
     edges,
@@ -232,3 +243,152 @@ def maintain_clusters(
         delete_condition=~F.col("alive"),
     )
     return {"labels": stats_l, "edges": stats_e, "epoch": str(epoch_id)}
+
+
+# --------------------------------------------------------------------------
+# Maintained global triangle count
+# --------------------------------------------------------------------------
+#
+# `operators/graph.triangle_count` is the batch answer: degree-oriented
+# wedge joins over the WHOLE edge set, O(m^1.5) worst-case per delivery.
+# A change feed touches a handful of edges per epoch, and a triangle's
+# existence only changes when one of ITS OWN edges does — so the count is
+# maintainable from the edge delta alone:
+#
+#   T(post) = T(pre) - |{triangles of PRE containing a removed edge}|
+#                    + |{triangles of POST containing an added edge}|
+#
+# Counting each side by enumerating distinct canonical (x,y,z) triples
+# makes triangles with 2 or 3 delta edges count once (set semantics, no
+# inclusion-exclusion bookkeeping), and a triangle with BOTH an added and
+# a removed edge correctly contributes to neither term (it is absent from
+# pre AND post). Every probe of the corpus-sized edge store broadcasts
+# the epoch-sized side; the two emitted scalars are bounded collects.
+
+
+def _triangles_touching(x_edges: DataFrame, graph: DataFrame) -> int:
+    """Distinct triangles of ``graph`` containing ≥1 edge of ``x_edges``
+    (both canonical (id_a < id_b) pair frames; X is epoch-sized).
+
+    Wedges fan out from each X edge's ``id_a`` endpoint: the corpus
+    adjacency is probed by a broadcast hash join on the X side, the
+    candidate (u,v,w) frame (|X| x avg-degree rows) is then broadcast
+    against the store for the closing-edge check, and the distinct
+    sorted-triple count is a single bounded aggregate."""
+    sym = graph.select(F.col("id_a").alias("u"), F.col("id_b").alias("w")).unionByName(
+        graph.select(F.col("id_b").alias("u"), F.col("id_a").alias("w"))
+    )
+    x = x_edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    cand = sym.join(F.broadcast(x), on="u").filter(F.col("w") != F.col("v"))
+    closing = cand.select(
+        "u",
+        "v",
+        "w",
+        F.least("v", "w").alias("id_a"),
+        F.greatest("v", "w").alias("id_b"),
+    )
+    tri = graph.join(F.broadcast(closing), on=["id_a", "id_b"], how="inner")
+    return (
+        tri.select(F.array_sort(F.array("u", "v", "w")).alias("t")).distinct().count()
+    )
+
+
+def build_triangle_state(
+    edges,
+    stats,
+    pairs: DataFrame,
+    epoch_id: str | int | None = None,
+) -> dict:
+    """Seed the edge store + the 1-row stats table from a full pair set
+    (the batch `graph.triangle_count` pays the full wedge join once)."""
+    from data_ingestion_resolution_platform_spark.operators.graph import (
+        triangle_count,
+    )
+
+    canon = _canon_pairs(pairs).localCheckpoint(eager=False)
+    counts = triangle_count(canon, "id_a", "id_b").withColumn(
+        "metric", F.lit("triangles")
+    )
+    stats_s = stats.merge(counts, ["metric"], epoch_id=epoch_id)
+    stats_e = edges.merge(
+        canon.withColumn("alive", F.lit(True)), ["id_a", "id_b"], epoch_id=epoch_id
+    )
+    return {"stats": stats_s, "edges": stats_e}
+
+
+def maintain_triangle_count(
+    edges,
+    stats,
+    added_pairs: DataFrame,
+    removed_pairs: DataFrame,
+    epoch_id: str | int | None = None,
+) -> dict:
+    """Advance the maintained triangle/edge counts by one edge-delta
+    epoch, O(|delta| x avg-degree) instead of a full recount.
+
+    ``added_pairs`` / ``removed_pairs`` are the epoch's edge delta (the
+    doc-level stale/delta algebra of `maintain_clusters` produces
+    exactly these: stale-minus-delta is removed, delta-minus-store is
+    added). Requested adds already present and removes already absent
+    are no-ops — the delta is normalized against the store first, so
+    re-derived or overlapping feeds cannot double-count.
+
+    Commit order is stats FIRST, then edges: both batches are computed
+    from the pre-epoch store, so a crash between the two commits
+    replays deterministically (stats skips via its ledger, the edge
+    MERGE lands the identical batch) — same convergence argument as
+    `maintain_clusters`, tested in test_graph_incremental.py."""
+    if epoch_id is not None and stats.epoch_committed(epoch_id) and edges.epoch_committed(epoch_id):
+        return {"skipped": True, "epoch": str(epoch_id)}
+
+    pre = edges.read().select("id_a", "id_b").localCheckpoint(eager=False)
+    add_req = _canon_pairs(added_pairs).localCheckpoint(eager=False)
+    rm_req = _canon_pairs(removed_pairs).localCheckpoint(eager=False)
+    # normalize against the store: A = truly new, R = actually present.
+    # Both probes keep the corpus-sized ``pre`` on the STREAM side of a
+    # broadcast join (an anti join with the store on the build side
+    # would shuffle it): present adds are found by probing pre with the
+    # broadcast request, then subtracted from the (small) request.
+    present_adds = pre.join(
+        F.broadcast(add_req), on=["id_a", "id_b"], how="left_semi"
+    )
+    a = add_req.join(
+        present_adds.hint("broadcast"), on=["id_a", "id_b"], how="left_anti"
+    ).localCheckpoint(eager=False)
+    r = pre.join(
+        F.broadcast(rm_req), on=["id_a", "id_b"], how="left_semi"
+    ).localCheckpoint(eager=False)
+
+    destroyed = _triangles_touching(r, pre)
+    post = pre.join(F.broadcast(r), on=["id_a", "id_b"], how="left_anti").unionByName(
+        a
+    ).localCheckpoint(eager=False)
+    created = _triangles_touching(a, post)
+    n_add, n_rm = a.count(), r.count()
+
+    row = stats.read().collect()[0]
+    counts = stats.read().sparkSession.createDataFrame(
+        [
+            (
+                "triangles",
+                int(row["n_triangles"]) - destroyed + created,
+                int(row["n_edges"]) - n_rm + n_add,
+            )
+        ],
+        "metric string, n_triangles long, n_edges long",
+    )
+    stats_s = stats.merge(counts, ["metric"], epoch_id=epoch_id)
+    edge_batch = a.withColumn("alive", F.lit(True)).unionByName(
+        r.withColumn("alive", F.lit(False))
+    )
+    stats_e = edges.merge(
+        edge_batch, ["id_a", "id_b"], epoch_id=epoch_id,
+        delete_condition=~F.col("alive"),
+    )
+    return {
+        "stats": stats_s,
+        "edges": stats_e,
+        "created": created,
+        "destroyed": destroyed,
+        "epoch": str(epoch_id),
+    }

@@ -5319,6 +5319,55 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count MAINTAINED through one edge-delta epoch
+    (`operators/graph_incremental.maintain_triangle_count`): the stats
+    row advances by (created − destroyed) counted only around the
+    epoch's edges — O(|Δ| × degree) probes of the broadcast-pruned edge
+    store — instead of re-running the O(m^1.5) batch wedge join per
+    delivery. Fixture: the store is seeded from a derived "yesterday"
+    graph (edges of every 10th order missing = today's adds; a shifted
+    ghost copy of the %13 subgraph = today's removes, exercising the
+    destroyed term), the epoch lands the delta, and the maintained
+    (n_triangles, n_edges) must equal the batch `triangle_count`
+    oracle over the live orders graph — SQL_TRIANGLES verbatim."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.graph_incremental import (
+        build_triangle_state,
+        maintain_triangle_count,
+    )
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    n_df = cust.agg(F.count("*").alias("__n"))
+    base = orders.crossJoin(F.broadcast(n_df)).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("id_a"),
+        (F.col("o_orderkey") * 7 % F.col("__n")).alias("id_b"),
+    )
+    ghosts = base.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("id_a") + 1_000_000).alias("id_a"),
+        (F.col("id_b") + 1_000_000).alias("id_b"),
+    )
+    seed = base.filter(F.col("o_orderkey") % 10 != 0).select(
+        "id_a", "id_b"
+    ).unionByName(ghosts)
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_tri_state_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    edges = LakeTable(spark, os.path.join(root, "edges"))
+    stats = LakeTable(spark, os.path.join(root, "stats"))
+    with fixture_phase():
+        build_triangle_state(edges, stats, seed, epoch_id="seed")
+
+    added = base.filter(F.col("o_orderkey") % 10 == 0).select("id_a", "id_b")
+    maintain_triangle_count(edges, stats, added, ghosts, epoch_id="e1")
+    return stats.read().select("n_triangles", "n_edges")
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5360,6 +5409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_maintained": q_bm25_maintained,
     "dedup_clusters_incremental": q_dedup_clusters_incremental,
     "stream_session_window": q_stream_session_window,
+    "triangle_count_incremental": q_triangle_count_incremental,
     # -- flagship e2e queries, last hard row r03 (entry() also smoke-runs
     # cdc_apply_changes every round) --------------------------------------
     "cdc_apply_changes": q_cdc_apply_changes,
@@ -5564,6 +5614,7 @@ ORACLES: dict[str, str] = {
     "bm25_maintained": SQL_BM25_SEARCH,
     "dedup_clusters_incremental": SQL_DEDUP_CLUSTERS,
     "stream_session_window": SQL_SESSION_WINDOW,
+    "triangle_count_incremental": SQL_TRIANGLES,
     "sketch_distinct_kmv": SQL_SKETCH_KMV,
     "sketch_kmv_incremental": SQL_SKETCH_KMV_INC,
     "sketch_heavy_hitters": SQL_SKETCH_HH,

@@ -37,6 +37,7 @@ MUST_BE_GATED = {
     "pipeline_schema_evolution", "pipeline_maintained_quantiles",
     "search_index_maintained", "bm25_maintained",
     "dedup_clusters_incremental", "stream_session_window",
+    "triangle_count_incremental",
 }
 
 # Below-window entries must still hold a recent hard row: everything not in
@@ -53,6 +54,10 @@ REDUNDANT_R03_BELOW = {
     # bloom_prune_scan) remain in-window; bucketed storage stays driven by
     # mor_merge_read in-window plus the bucketed-backend pytest suites
     "zorder_prune_scan", "bucketed_join",
+    # slid below when triangle_count_incremental landed: the round-5
+    # pipeline_schema_evolution (full-pipeline superset of the same
+    # reconciliation path) holds the in-window slot for the family
+    "cdc_schema_evolution",
 }
 
 

@@ -4819,6 +4819,13 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — the funnel report a 100 TB events table answers with one
     shuffle of (user, ts, type)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return _funnel_counts(_funnel_per_user(ev))
+
+
+def _funnel_per_user(ev: DataFrame) -> DataFrame:
+    """(user_id, v, c, p) — the three chained stage minima over one
+    reused user-partition exchange (shared by `funnel_conversion` and
+    the maintained `funnel_incremental` rescan)."""
     w = Window.partitionBy("user_id")
     v = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     staged = ev.withColumn("_v", v)
@@ -4836,9 +4843,12 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).over(w)
     staged = staged.withColumn("_p", p)
-    per_user = staged.groupBy("user_id").agg(
+    return staged.groupBy("user_id").agg(
         F.max("_v").alias("v"), F.max("_c").alias("c"), F.max("_p").alias("p")
     )
+
+
+def _funnel_counts(per_user: DataFrame) -> DataFrame:
     return per_user.agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.count("v").cast("long").alias("n_viewed"),
@@ -5368,6 +5378,69 @@ def q_triangle_count_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.read().select("n_triangles", "n_edges")
 
 
+def q_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered funnel as a MAINTAINED read model
+    (`operators/rescan.maintain_group_rescan`): the chained stage minima
+    are not delta-decomposable (one early view insert can invalidate a
+    user's click AND purchase stages; deleting it resurrects them), so
+    per epoch the per-user funnel rows are recomputed for EXACTLY the
+    users the event delta touched — a broadcast-pruned scan of the
+    events lake — and MERGEd exactly-once. Fixture: a "yesterday"
+    events lake (every 10th event missing = today's inserts; ghost
+    1000-day-early views for every 13th event's user = today's deletes,
+    exercising stage retraction on BOTH edges), one epoch lands the
+    delta in the lake and rescans the affected users; the aggregated
+    store must equal the batch funnel — SQL_FUNNEL verbatim."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.rescan import (
+        maintain_group_rescan,
+    )
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    ghosts = ev.filter(F.col("event_id") % 13 == 0).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        (F.col("ts") - F.expr("INTERVAL 1000 DAYS")).alias("ts"),
+        "user_id",
+        F.lit("view").alias("event_type"),
+    )
+    v1 = ev.filter(F.col("event_id") % 10 != 0).unionByName(ghosts)
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_funnel_state_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    lake = LakeTable(spark, os.path.join(root, "events"))
+    store = LakeTable(spark, os.path.join(root, "funnel"))
+
+    def recompute(aff: DataFrame) -> DataFrame:
+        scoped = lake.read().join(F.broadcast(aff), on="user_id")
+        return _funnel_per_user(scoped.select("user_id", "event_type", "ts"))
+
+    with fixture_phase():
+        lake.merge(v1, ["event_id"], epoch_id="seed")
+        store.merge(
+            _funnel_per_user(lake.read().select("user_id", "event_type", "ts")),
+            ["user_id"],
+            epoch_id="seed",
+        )
+
+    inserts = ev.filter(F.col("event_id") % 10 == 0)
+    delta = inserts.withColumn("_del", F.lit(False)).unionByName(
+        ghosts.withColumn("_del", F.lit(True))
+    )
+    lake.merge(
+        delta, ["event_id"], epoch_id="e1",
+        delete_condition=F.col("_del"), drop_cols=["_del"],
+    )
+    affected = inserts.select("user_id").unionByName(ghosts.select("user_id"))
+    maintain_group_rescan(store, ["user_id"], affected, recompute, epoch_id="e1")
+
+    return _funnel_counts(store.read().select("user_id", "v", "c", "p"))
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5410,6 +5483,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters_incremental": q_dedup_clusters_incremental,
     "stream_session_window": q_stream_session_window,
     "triangle_count_incremental": q_triangle_count_incremental,
+    "funnel_incremental": q_funnel_incremental,
     # -- flagship e2e queries, last hard row r03 (entry() also smoke-runs
     # cdc_apply_changes every round) --------------------------------------
     "cdc_apply_changes": q_cdc_apply_changes,
@@ -5615,6 +5689,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters_incremental": SQL_DEDUP_CLUSTERS,
     "stream_session_window": SQL_SESSION_WINDOW,
     "triangle_count_incremental": SQL_TRIANGLES,
+    "funnel_incremental": SQL_FUNNEL,
     "sketch_distinct_kmv": SQL_SKETCH_KMV,
     "sketch_kmv_incremental": SQL_SKETCH_KMV_INC,
     "sketch_heavy_hitters": SQL_SKETCH_HH,

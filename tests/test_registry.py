@@ -37,7 +37,7 @@ MUST_BE_GATED = {
     "pipeline_schema_evolution", "pipeline_maintained_quantiles",
     "search_index_maintained", "bm25_maintained",
     "dedup_clusters_incremental", "stream_session_window",
-    "triangle_count_incremental",
+    "triangle_count_incremental", "funnel_incremental",
 }
 
 # Below-window entries must still hold a recent hard row: everything not in
@@ -58,6 +58,9 @@ REDUNDANT_R03_BELOW = {
     # pipeline_schema_evolution (full-pipeline superset of the same
     # reconciliation path) holds the in-window slot for the family
     "cdc_schema_evolution",
+    # slid below when funnel_incremental landed: the text-quality family
+    # (text_quality / lang_id / token_stats) is r04-green
+    "repetition_stats",
 }
 
 

@@ -1,0 +1,88 @@
+"""Generic group-pruned rescan maintenance (`operators/rescan.py`)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_resolution_platform_spark.operators.rescan import (
+    maintain_group_rescan,
+)
+from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return LakeTable(spark, str(tmp_path / "rescan_store"))
+
+
+def _base(spark, rows):
+    return spark.createDataFrame(rows, "g long, x long")
+
+
+def _recompute_sum(base):
+    def recompute(aff):
+        return (
+            base.join(F.broadcast(aff), on="g")
+            .groupBy("g")
+            .agg(F.sum("x").alias("s"))
+        )
+
+    return recompute
+
+
+def test_rescan_touches_only_affected_groups(spark, store):
+    base1 = _base(spark, [(1, 10), (2, 20), (3, 30)])
+    store.merge(
+        _recompute_sum(base1)(base1.select("g").distinct()), ["g"], epoch_id="seed"
+    )
+    # epoch: group 2's rows changed in the base; group 3 untouched — a
+    # recompute fed the POST base must only rewrite group 2
+    base2 = _base(spark, [(1, 10), (2, 99), (3, 12345)])
+    v0 = store.versions.current()
+    maintain_group_rescan(
+        store,
+        ["g"],
+        spark.createDataFrame([(2,)], "g long"),
+        _recompute_sum(base2),
+        epoch_id="e1",
+    )
+    got = {(r.g, r.s) for r in store.read().select("g", "s").collect()}
+    # group 3 keeps its SEED value (30, not 12345): untouched groups are
+    # never rescanned — the pruning is real, not cosmetic
+    assert got == {(1, 10), (2, 99), (3, 30)}
+    changed = {
+        r.g for r in store.changelog(v0, store.versions.current(), ["g"]).collect()
+    }
+    assert changed == {2}
+
+
+def test_vanished_group_is_deleted(spark, store):
+    base1 = _base(spark, [(1, 10), (2, 20)])
+    store.merge(
+        _recompute_sum(base1)(base1.select("g").distinct()), ["g"], epoch_id="seed"
+    )
+    # group 2's base rows are all gone post-epoch → recompute returns no
+    # row for it → the store row must be DELETED, not stranded
+    base2 = _base(spark, [(1, 10)])
+    maintain_group_rescan(
+        store,
+        ["g"],
+        spark.createDataFrame([(2,)], "g long"),
+        _recompute_sum(base2),
+        epoch_id="e1",
+    )
+    assert {r.g for r in store.read().collect()} == {1}
+
+
+def test_redelivered_epoch_is_noop(spark, store):
+    base = _base(spark, [(1, 10)])
+    store.merge(
+        _recompute_sum(base)(base.select("g").distinct()), ["g"], epoch_id="seed"
+    )
+    aff = spark.createDataFrame([(1,)], "g long")
+    maintain_group_rescan(store, ["g"], aff, _recompute_sum(base), epoch_id="e1")
+    out = maintain_group_rescan(
+        store, ["g"], aff, _recompute_sum(base), epoch_id="e1"
+    )
+    assert out.get("skipped")

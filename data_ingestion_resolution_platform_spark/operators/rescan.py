@@ -51,22 +51,42 @@ def maintain_group_rescan(
     affected: DataFrame,
     recompute: Callable[[DataFrame], DataFrame],
     epoch_id: str | int | None = None,
+    group_keys: Sequence[str] | None = None,
 ) -> dict:
     """Advance ``store`` by recomputing the affected groups only.
 
     ``affected``: the epoch's touched group keys (epoch-sized, carries
-    exactly ``keys``). ``recompute(affected)`` must return the
-    post-epoch store rows for those groups — the callable closes over
-    the base table and is expected to prune its scan with the given
-    frame (broadcast it; at scale the base table is bucketed by the
-    group key so the join is also storage-pruned).
+    exactly ``group_keys`` if given, else ``keys``). ``recompute(
+    affected)`` must return ALL post-epoch store rows for those groups —
+    the callable closes over the base table and is expected to prune its
+    scan with the given frame (broadcast it; at scale the base table is
+    bucketed by the group key so the join is also storage-pruned).
+
+    ``group_keys``: when a group owns MULTIPLE store rows (e.g. one row
+    per (user, active_week) with the group = user), pass the group-level
+    subset of ``keys``. Stale-row deletion then sweeps the group's
+    CURRENT store rows (a broadcast-pruned probe of the store) minus the
+    recomputed set, so rows the rescan no longer emits disappear without
+    the caller enumerating them.
     """
     if epoch_id is not None and store.epoch_committed(epoch_id):
         return {"skipped": True, "epoch": str(epoch_id)}
     key_list = list(keys)
-    aff = affected.select(*key_list).distinct().localCheckpoint(eager=False)
+    g_list = list(group_keys) if group_keys is not None else key_list
+    aff = affected.select(*g_list).distinct().localCheckpoint(eager=False)
     rows = recompute(aff).localCheckpoint(eager=False)
-    gone = aff.join(rows.hint("broadcast"), on=key_list, how="left_anti")
+    if group_keys is None:
+        gone = aff.join(rows.hint("broadcast"), on=key_list, how="left_anti")
+    else:
+        current = store.read() if store.exists() else None
+        if current is None:
+            gone = rows.select(*key_list).limit(0)
+        else:
+            gone = (
+                current.join(F.broadcast(aff), on=g_list, how="left_semi")
+                .select(*key_list)
+                .join(rows.hint("broadcast"), on=key_list, how="left_anti")
+            )
     batch = rows.withColumn("alive", F.lit(True)).unionByName(
         gone.withColumn("alive", F.lit(False)), allowMissingColumns=True
     )

@@ -5441,6 +5441,82 @@ def q_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _funnel_counts(store.read().select("user_id", "v", "c", "p"))
 
 
+def q_cohort_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention as a MAINTAINED read model: a user's
+    cohort is their MIN activity week, so one backdated event insert
+    (or its deletion) moves the user's cohort and re-buckets EVERY one
+    of their retention cells — not delta-decomposable. The store keeps
+    one row per (user, active_week) with the user's cohort, maintained
+    by the group-rescan operator in multi-row-group mode (`group_keys=
+    [user_id]`): each epoch recomputes exactly the touched users'
+    rows from the events lake and sweeps their stale store rows.
+    Fixture mirrors `funnel_incremental` (missing events = inserts,
+    ghost 1000-day-early views = deletes that retract cohorts); the
+    final aggregate must equal the batch oracle — SQL_COHORT verbatim."""
+    import shutil
+
+    from data_ingestion_resolution_platform_spark.operators.rescan import (
+        maintain_group_rescan,
+    )
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    ghosts = ev.filter(F.col("event_id") % 13 == 0).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        (F.col("ts") - F.expr("INTERVAL 1000 DAYS")).alias("ts"),
+        "user_id",
+        F.lit("view").alias("event_type"),
+    )
+    v1 = ev.filter(F.col("event_id") % 10 != 0).unionByName(ghosts)
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/dirp_cohort_state_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    lake = LakeTable(spark, os.path.join(root, "events"))
+    store = LakeTable(spark, os.path.join(root, "cohort"))
+
+    def _user_weeks(scoped: DataFrame) -> DataFrame:
+        wkk = scoped.select(
+            "user_id", F.to_date(F.date_trunc("WEEK", F.col("ts"))).alias("wk")
+        )
+        first = wkk.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+        return wkk.distinct().join(first, "user_id")
+
+    def recompute(aff: DataFrame) -> DataFrame:
+        return _user_weeks(lake.read().join(F.broadcast(aff), on="user_id"))
+
+    with fixture_phase():
+        lake.merge(v1, ["event_id"], epoch_id="seed")
+        store.merge(_user_weeks(lake.read()), ["user_id", "wk"], epoch_id="seed")
+
+    inserts = ev.filter(F.col("event_id") % 10 == 0)
+    delta = inserts.withColumn("_del", F.lit(False)).unionByName(
+        ghosts.withColumn("_del", F.lit(True))
+    )
+    lake.merge(
+        delta, ["event_id"], epoch_id="e1",
+        delete_condition=F.col("_del"), drop_cols=["_del"],
+    )
+    affected = inserts.select("user_id").unionByName(ghosts.select("user_id"))
+    maintain_group_rescan(
+        store, ["user_id", "wk"], affected, recompute,
+        epoch_id="e1", group_keys=["user_id"],
+    )
+
+    return (
+        store.read()
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5484,6 +5560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_session_window": q_stream_session_window,
     "triangle_count_incremental": q_triangle_count_incremental,
     "funnel_incremental": q_funnel_incremental,
+    "cohort_incremental": q_cohort_incremental,
     # -- flagship e2e queries, last hard row r03 (entry() also smoke-runs
     # cdc_apply_changes every round) --------------------------------------
     "cdc_apply_changes": q_cdc_apply_changes,
@@ -5515,8 +5592,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": q_pii_redaction,
     "dedup_embedding": q_dedup_embedding,
     "lake_prune_scan": q_lake_prune_scan,
-    "bloom_prune_scan": q_bloom_prune_scan,
+    # pagerank ahead of bloom_prune_scan: when late round-5 additions slid
+    # the window boundary, the iterative-graph flagship kept its slot and
+    # the skipping family's second entry (lake_prune_scan stays in-window)
+    # slid below instead
     "pagerank": q_pagerank,
+    "bloom_prune_scan": q_bloom_prune_scan,
     "repetition_stats": q_repetition_stats,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "bucketed_join": q_bucketed_join,
@@ -5690,6 +5771,7 @@ ORACLES: dict[str, str] = {
     "stream_session_window": SQL_SESSION_WINDOW,
     "triangle_count_incremental": SQL_TRIANGLES,
     "funnel_incremental": SQL_FUNNEL,
+    "cohort_incremental": SQL_COHORT,
     "sketch_distinct_kmv": SQL_SKETCH_KMV,
     "sketch_kmv_incremental": SQL_SKETCH_KMV_INC,
     "sketch_heavy_hitters": SQL_SKETCH_HH,

@@ -38,6 +38,7 @@ MUST_BE_GATED = {
     "search_index_maintained", "bm25_maintained",
     "dedup_clusters_incremental", "stream_session_window",
     "triangle_count_incremental", "funnel_incremental",
+    "cohort_incremental", "pagerank",
 }
 
 # Below-window entries must still hold a recent hard row: everything not in
@@ -61,6 +62,9 @@ REDUNDANT_R03_BELOW = {
     # slid below when funnel_incremental landed: the text-quality family
     # (text_quality / lang_id / token_stats) is r04-green
     "repetition_stats",
+    # slid below when cohort_incremental landed: lake_prune_scan holds the
+    # in-window data-skipping slot; bloom keeps its r03 row + pytest suite
+    "bloom_prune_scan",
 }
 
 

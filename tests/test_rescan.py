@@ -75,6 +75,33 @@ def test_vanished_group_is_deleted(spark, store):
     assert {r.g for r in store.read().collect()} == {1}
 
 
+def test_multi_row_group_mode_sweeps_stale_rows(spark, store):
+    """group_keys mode: a group owning several store rows loses exactly
+    the rows the rescan no longer emits — other groups untouched."""
+    def rows_df(rows):
+        return spark.createDataFrame(rows, "g long, k long, val long")
+
+    store.merge(
+        rows_df([(1, 10, 100), (1, 11, 110), (2, 20, 200)]),
+        ["g", "k"],
+        epoch_id="seed",
+    )
+    # group 1's rescan now emits only k=11 (new val) and a new k=12;
+    # its k=10 row must be swept, group 2 untouched
+    maintain_group_rescan(
+        store,
+        ["g", "k"],
+        spark.createDataFrame([(1,)], "g long"),
+        lambda aff: rows_df([(1, 11, 111), (1, 12, 120)]).join(
+            F.broadcast(aff), on="g", how="left_semi"
+        ),
+        epoch_id="e1",
+        group_keys=["g"],
+    )
+    got = {(r.g, r.k, r.val) for r in store.read().select("g", "k", "val").collect()}
+    assert got == {(1, 11, 111), (1, 12, 120), (2, 20, 200)}
+
+
 def test_redelivered_epoch_is_noop(spark, store):
     base = _base(spark, [(1, 10)])
     store.merge(

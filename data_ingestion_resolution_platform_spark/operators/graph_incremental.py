@@ -60,10 +60,12 @@ At scale, back both stores with `PartitionedLakeTable` (hash-bucketed
 on id / id_a) so each epoch's MERGE rewrites only touched buckets;
 the reads above are already broadcast-pruned scans.
 
-Reference semantics parity: the platform resolves duplicate groups
-transitively per natural key before historizing
-(/root/reference/backend/services/resolution.py) — this is that
-semantic lifted to streaming near-dup graphs.
+Reference semantics parity: the platform groups duplicate rows by
+identity signature and keeps ONE issue per duplicate group
+(/root/reference/backend/worker.py:282-392 tracks signatures and
+upserts the group's candidates; main.py:206 resolves the group to one
+chosen row) — this is that group-resolution semantic lifted to
+streaming near-dup graphs, where transitive closure defines the group.
 """
 
 from __future__ import annotations

@@ -30,9 +30,11 @@ Exactly-once: one ledgered MERGE per epoch; the recompute reads the
 post-epoch base table, so a re-delivered epoch recomputes identical
 rows and the ledger makes the MERGE a no-op.
 
-Reference parity: the platform recomputes its per-contact issue/status
-read models whenever a contact's rows change
-(/root/reference/backend/services/resolution.py) — this is that
+Reference parity: the platform recomputes an application's issue rows
+whenever its data is reprocessed — `worker.py` re-derives every
+duplicate/validation issue for the touched application id on each run
+(/root/reference/backend/worker.py:231-415, scoped by application) and
+leaves other applications' rows alone. This operator is that
 recompute-on-touch semantic, pruned to the touched groups and run
 distributed.
 """

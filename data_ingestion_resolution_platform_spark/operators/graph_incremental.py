@@ -368,8 +368,11 @@ def maintain_triangle_count(
     created = _triangles_touching(a, post)
     n_add, n_rm = a.count(), r.count()
 
+    from data_ingestion_resolution_platform_spark.util import local_df
+
     row = stats.read().collect()[0]
-    counts = stats.read().sparkSession.createDataFrame(
+    counts = local_df(
+        stats.spark,
         [
             (
                 "triangles",

@@ -873,6 +873,256 @@ def run_cc_growth(parallelism: int) -> dict:
     return out
 
 
+def run_tri_growth(parallelism: int) -> dict:
+    """Maintained-triangle-count growth sweep: does a FIXED edge-delta
+    epoch's maintenance cost track the delta or the corpus?
+
+    Graph = disjoint 5-cliques (triangle-rich, the dup-cluster shape:
+    10 edges / 10 triangles per clique). Epoch held constant: 128
+    intra-clique edge removals (3 triangles destroyed each) + 128
+    cross-clique bridge additions (wedge probes that close nothing) —
+    O(hundreds) touched edges at every corpus size. REBUILD = the batch
+    degree-oriented wedge join over the full store (O(m^1.5), grows
+    with N); MAINTAIN probes only around the delta. The maintained
+    count is asserted equal to the batch recount at every size."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_resolution_platform_spark.operators.graph import (
+        triangle_count,
+    )
+    from data_ingestion_resolution_platform_spark.operators.graph_incremental import (
+        build_triangle_state,
+        maintain_triangle_count,
+    )
+    from data_ingestion_resolution_platform_spark.session import get_spark
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    spark = get_spark("bench_tri_growth", parallelism=parallelism)
+    n0 = int(os.environ.get("SPARK_GRAFT_TRI_NODES", "100000"))
+    reps = [int(x) for x in os.environ.get("SPARK_GRAFT_TRI_REPLICAS", "1,4,16").split(",")]
+    n_epochs = int(os.environ.get("SPARK_GRAFT_TRI_EPOCHS", "3"))
+    n_delta = 128
+
+    def clique_edges(n: int):
+        # nodes 5k..5k+4 fully connected: pairs (5k+i, 5k+j), i<j<5
+        node = spark.range(n // 5).select((F.col("id") * 5).alias("base"))
+        pairs = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        pieces = [
+            node.select(
+                (F.col("base") + i).alias("id_a"), (F.col("base") + j).alias("id_b")
+            )
+            for i, j in pairs
+        ]
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
+    wh = tempfile.mkdtemp(
+        prefix="bench_trig_", dir=os.environ.get("SPARK_GRAFT_BENCH_DIR") or None
+    )
+    out: dict = {
+        "metric": "triangle_epoch_cost_vs_corpus_growth",
+        "base_nodes": n0,
+        "delta_per_epoch": {"removals": n_delta, "bridges": n_delta},
+        "epochs": n_epochs,
+        "parallelism": parallelism,
+        "sizes": [],
+    }
+    try:
+        for k_rep in reps:
+            n = n0 * k_rep
+            n_cliques = n // 5
+            stride = n_cliques // n_delta
+            root = os.path.join(wh, f"s{k_rep}")
+            edges = LakeTable(spark, root + "/edges")
+            stats = LakeTable(spark, root + "/stats")
+            build_cluster_seed = clique_edges(n)
+            build_triangle_state(edges, stats, build_cluster_seed, epoch_id="seed")
+            secs = []
+            for j in range(1, n_epochs + 1):
+                # remove edge (5k, 5k+j) in every stride-th clique
+                # (j ∈ 1..3 → distinct edges per rep), bridge 5k+4 to the
+                # next clique's 5k+2 (closes nothing)
+                sel = spark.range(n_delta).select(
+                    (F.col("id") * stride * 5).alias("base")
+                )
+                removals = sel.select(
+                    F.col("base").alias("id_a"), (F.col("base") + j).alias("id_b")
+                )
+                adds = sel.select(
+                    (F.col("base") + 4).alias("id_a"),
+                    (F.col("base") + 5 + j).alias("id_b"),
+                )
+                t0 = time.monotonic()
+                maintain_triangle_count(
+                    edges, stats, adds, removals, epoch_id=f"e{j}"
+                )
+                secs.append(round(time.monotonic() - t0, 3))
+            entry: dict = {
+                "replicas": k_rep,
+                "nodes": n,
+                "maintain_secs": secs,
+                "maintain_median_s": sorted(secs)[len(secs) // 2],
+            }
+            live = edges.read().select("id_a", "id_b")
+            t0 = time.monotonic()
+            full = triangle_count(live, "id_a", "id_b").collect()[0]
+            entry["rebuild_s"] = round(time.monotonic() - t0, 3)
+            row = stats.read().collect()[0]
+            entry["parity_ok"] = (
+                row["n_triangles"] == full["n_triangles"]
+                and row["n_edges"] == full["n_edges"]
+            )
+            entry["n_triangles"] = int(row["n_triangles"])
+            out["sizes"].append(entry)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    s0, s1 = out["sizes"][0], out["sizes"][-1]
+    out["corpus_growth"] = round(s1["nodes"] / s0["nodes"], 2)
+    out["rebuild_growth"] = round(s1["rebuild_s"] / s0["rebuild_s"], 2)
+    out["maintain_growth"] = round(
+        s1["maintain_median_s"] / s0["maintain_median_s"], 2
+    )
+    return out
+
+
+def run_rescan_growth(parallelism: int) -> dict:
+    """Group-rescan growth sweep (funnel read model): does a FIXED
+    touched-user epoch's rescan cost track the touched groups or the
+    events lake?
+
+    Base = synthetic per-user event histories (8 events/user, the
+    view→click→purchase shape). Epoch held constant: 256 users get one
+    event deleted + one backdated view inserted — the worst case that
+    invalidates all three funnel stages. MAINTAIN = rescan exactly
+    those users (broadcast-pruned lake probe + group-sized MERGE);
+    REBUILD = the full-lake funnel recompute batch mode would pay. The
+    maintained store is asserted equal to the rebuild at every size."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_resolution_platform_spark.operators.rescan import (
+        maintain_group_rescan,
+    )
+    from data_ingestion_resolution_platform_spark.session import get_spark
+    from data_ingestion_resolution_platform_spark.sources.lake import LakeTable
+
+    spark = get_spark("bench_rescan_growth", parallelism=parallelism)
+    n0 = int(os.environ.get("SPARK_GRAFT_RESCAN_USERS", "50000"))
+    reps = [int(x) for x in os.environ.get("SPARK_GRAFT_RESCAN_REPLICAS", "1,4,16").split(",")]
+    n_epochs = int(os.environ.get("SPARK_GRAFT_RESCAN_EPOCHS", "3"))
+    n_delta = 256
+    ev_per_user = 8
+    types = ["view", "click", "purchase", "view", "click", "other", "view", "purchase"]
+
+    def events_for(n_users: int):
+        ev = spark.range(n_users * ev_per_user).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % n_users).alias("user_id"),
+            (F.col("id") / n_users).cast("long").alias("seq"),
+        )
+        type_expr = F.element_at(
+            F.array(*[F.lit(t) for t in types]), (F.col("seq") + 1).cast("int")
+        )
+        # per-user jitter so stage minima differ across users
+        return ev.select(
+            "event_id",
+            "user_id",
+            type_expr.alias("event_type"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + F.col("seq") * 3600 + F.col("user_id") % 97
+            ).alias("ts"),
+        )
+
+    def funnel_rows(ev):
+        from data_ingestion_resolution_platform_spark.plans.queries import (
+            _funnel_per_user,
+        )
+
+        return _funnel_per_user(ev.select("user_id", "event_type", "ts"))
+
+    wh = tempfile.mkdtemp(
+        prefix="bench_rescang_", dir=os.environ.get("SPARK_GRAFT_BENCH_DIR") or None
+    )
+    out: dict = {
+        "metric": "rescan_epoch_cost_vs_base_growth",
+        "base_users": n0,
+        "events_per_user": ev_per_user,
+        "delta_users_per_epoch": n_delta,
+        "epochs": n_epochs,
+        "parallelism": parallelism,
+        "sizes": [],
+    }
+    try:
+        for k_rep in reps:
+            n_users = n0 * k_rep
+            stride = n_users // n_delta
+            root = os.path.join(wh, f"s{k_rep}")
+            lake = LakeTable(spark, root + "/events")
+            store = LakeTable(spark, root + "/funnel")
+            lake.merge(events_for(n_users), ["event_id"], epoch_id="seed")
+            store.merge(funnel_rows(lake.read()), ["user_id"], epoch_id="seed")
+
+            def recompute(aff):
+                return funnel_rows(lake.read().join(F.broadcast(aff), on="user_id"))
+
+            secs = []
+            for j in range(1, n_epochs + 1):
+                users = spark.range(n_delta).select(
+                    (F.col("id") * stride + j).alias("user_id")
+                )
+                # delete the user's first view (event seq 0) and insert a
+                # backdated view — both flip all three stages
+                dels = users.select(
+                    F.col("user_id").alias("event_id"), "user_id"
+                ).withColumn("_del", F.lit(True))
+                ins = users.select(
+                    (F.col("user_id") + 100_000_000 * j).alias("event_id"),
+                    "user_id",
+                ).withColumn("_del", F.lit(False))
+                batch = ins.unionByName(dels).withColumn(
+                    "event_type", F.lit("view")
+                ).withColumn(
+                    "ts", F.to_timestamp(F.lit("2020-01-01 00:00:00"))
+                )
+                # the lake advance is the TARGET-table write (bucketed /
+                # MoR at scale — benched by the other sweeps); the timed
+                # window here is the read-model rescan alone
+                lake.merge(
+                    batch, ["event_id"], epoch_id=f"l{j}",
+                    delete_condition=F.col("_del"), drop_cols=["_del"],
+                )
+                t0 = time.monotonic()
+                maintain_group_rescan(
+                    store, ["user_id"], users, recompute, epoch_id=f"e{j}"
+                )
+                secs.append(round(time.monotonic() - t0, 3))
+            entry: dict = {
+                "replicas": k_rep,
+                "users": n_users,
+                "maintain_secs": secs,
+                "maintain_median_s": sorted(secs)[len(secs) // 2],
+            }
+            t0 = time.monotonic()
+            full = funnel_rows(lake.read()).localCheckpoint(eager=True)
+            entry["rebuild_s"] = round(time.monotonic() - t0, 3)
+            got = store.read().select("user_id", "v", "c", "p")
+            entry["parity_ok"] = (
+                got.exceptAll(full).count() == 0
+                and full.exceptAll(got).count() == 0
+            )
+            out["sizes"].append(entry)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    s0, s1 = out["sizes"][0], out["sizes"][-1]
+    out["corpus_growth"] = round(s1["users"] / s0["users"], 2)
+    out["rebuild_growth"] = round(s1["rebuild_s"] / s0["rebuild_s"], 2)
+    out["maintain_growth"] = round(
+        s1["maintain_median_s"] / s0["maintain_median_s"], 2
+    )
+    return out
+
+
 def run_ann_recall(parallelism: int) -> dict:
     """ANN recall/cost frontier (r4 verdict Next-round #5): recall@10
     vs scan fraction across n_probe x n_cells for BOTH codebooks
@@ -1639,6 +1889,14 @@ def main() -> None:
 
     if "--cc-growth" in sys.argv:
         print(json.dumps(run_cc_growth(cpus)))
+        return
+
+    if "--tri-growth" in sys.argv:
+        print(json.dumps(run_tri_growth(cpus)))
+        return
+
+    if "--rescan-growth" in sys.argv:
+        print(json.dumps(run_rescan_growth(cpus)))
         return
 
     if "--ann-recall" in sys.argv:

@@ -102,6 +102,32 @@ def test_multi_row_group_mode_sweeps_stale_rows(spark, store):
     assert got == {(1, 11, 111), (1, 12, 120), (2, 20, 200)}
 
 
+def test_bucketed_backend_portability(spark, tmp_path):
+    """The alive-sentinel batch rides PartitionedLakeTable unchanged —
+    the 100 TB store where the MERGE rewrites only touched buckets."""
+    from data_ingestion_resolution_platform_spark.sources.lake import (
+        PartitionedLakeTable,
+    )
+
+    store = PartitionedLakeTable(
+        spark, str(tmp_path / "rescan_bucketed"), ["g"], n_buckets=4
+    )
+    base1 = _base(spark, [(1, 10), (2, 20)])
+    store.merge(
+        _recompute_sum(base1)(base1.select("g").distinct()), ["g"], epoch_id="seed"
+    )
+    base2 = _base(spark, [(1, 10)])  # group 2 vanished
+    maintain_group_rescan(
+        store,
+        ["g"],
+        spark.createDataFrame([(1,), (2,)], "g long"),
+        _recompute_sum(base2),
+        epoch_id="e1",
+    )
+    got = {(r.g, r.s) for r in store.read().select("g", "s").collect()}
+    assert got == {(1, 10)}
+
+
 def test_redelivered_epoch_is_noop(spark, store):
     base = _base(spark, [(1, 10)])
     store.merge(

@@ -3,8 +3,8 @@
 ``entry(spark)`` runs the flagship CDC apply-changes query at sf0.001;
 ``queries()`` / ``oracle_sql()`` expose the full registry from
 ``data_ingestion_resolution_platform_spark.plans.queries`` — since
-round 4 every registered query (108/108) has a DuckDB oracle twin; no
-rows-only entries remain.
+round 4 every registered query (119/119 as of round 5) has a DuckDB
+oracle twin; no rows-only entries remain.
 """
 
 from __future__ import annotations
